@@ -1,0 +1,205 @@
+"""Typed configuration tree for the gmmloc-tpu framework.
+
+Captures all three config tiers of the reference system
+(/root/reference/gmmloc/include/gmmloc/config.h, src/config.cpp,
+include/gmmloc/init_config.hpp, gmmloc_ros/cfg/v1.yaml):
+  1. ROS params -> global namespaces (common/camera/frame/gmmmap/loc)
+  2. launch-file composition (paths, per-room yaml)
+  3. hard-coded inline algorithm constants (chi2 gates, view-cos, etc.)
+
+Everything is an explicit, named field here; nothing hides in kernel bodies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Rectified pinhole stereo camera (ref: cfg/v1.yaml camera section)."""
+
+    fx: float = 435.2046959714599
+    fy: float = 435.2046959714599
+    cx: float = 367.4517211914062
+    cy: float = 252.2008514404297
+    width: int = 752
+    height: int = 480
+    bf: float = 47.90639384423901  # baseline * fx
+    fps: float = 20.0
+    do_rectify: bool = True
+    do_equalization: bool = True
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+
+@dataclass(frozen=True)
+class FrameConfig:
+    """Per-frame feature / pyramid settings (ref: config.cpp frame ns)."""
+
+    num_features: int = 1200
+    num_levels: int = 8              # ref: config.cpp:53 (const)
+    scale_factor: float = 1.2        # ref: config.cpp:55 (const)
+    th_depth_raw: float = 35.0       # ref yaml frame/th_depth (pre-derivation)
+    grid_cols: int = 64              # ref: config.h grid constants
+    grid_rows: int = 48
+    # Feature capacity (static shape): num_features padded up.
+    feat_cap: int = 1280
+
+    def scale_factors(self) -> np.ndarray:
+        return self.scale_factor ** np.arange(self.num_levels, dtype=np.float64)
+
+    def sigma2(self) -> np.ndarray:
+        s = self.scale_factors()
+        return s * s
+
+    def th_depth(self, cam: CameraConfig) -> float:
+        # ref: init_config.hpp:61  th_depth = bf * th / fx
+        return cam.bf * self.th_depth_raw / cam.fx
+
+
+@dataclass(frozen=True)
+class GMMMapConfig:
+    """Prior GMM map settings (ref: gmmmap ns + inline constants)."""
+
+    neighbor_dist_thresh: float = 2.5   # Bhattacharyya gate (yaml map/)
+    neighbor_cap: int = 16              # static cap on neighbor list length
+    degenerate_eig_thresh: float = 1e-4  # ref: gaussian.cpp:44
+    salient_eig_thresh: float = 0.2      # ref: gaussian.cpp:52
+    # renderView gates (ref: gaussian_mixture.cpp:271-371 inline consts)
+    view_cos_deg: float = 78.0
+    cov2d_scale_thresh: float = 4.0
+    occlusion_bh_thresh: float = 0.8
+    # searchCorrespondence (ref: gaussian_mixture.cpp:484-534)
+    assoc_knn: int = 5
+    assoc_mdist2_thresh: float = 9.0
+    # 3D fallback query (ref: gaussian_mixture.cpp:545-576)
+    query3d_knn: int = 5
+
+
+@dataclass(frozen=True)
+class LocConfig:
+    """Back-end / structure-constraint settings (ref: loc ns + inline)."""
+
+    tri_use_stereo: bool = True
+    tri_check_deg: bool = True
+    tri_lambda2: float = 400.0
+    tri_check_str_chi2: bool = True
+    tri_str_thresh: float = 0.0064
+    ba_lambda2: float = 400.0
+    ba_first_as_prior: bool = True
+    # chi2 gates (inline constants, ref: tracking_opt.cpp / localization_opt.cpp)
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    chi2_fuse_mono: float = 5.99     # fuseObservations (localization.cpp:269)
+    chi2_fuse_stereo: float = 7.8
+    chi2_assoc_3d: float = 9.0       # checkMapAssociation accept gate
+    # pose-only optimization schedule (tracking_opt.cpp:150-152)
+    pose_opt_rounds: int = 4
+    pose_opt_iters: int = 10
+    # point opt (gmmloc_opt.cpp:330 / localization_opt.cpp:177)
+    point_opt_iters: int = 5
+    tri_opt_iters: int = 20
+    # local BA staged schedule (localization_opt.cpp:769-831)
+    ba_iters_stage1: int = 5
+    ba_iters_stage2: int = 5
+    ba_iters_stage3: int = 40
+    # first-KF prior sigmas (localization_opt.cpp:568-573)
+    prior_sigma_rot_deg: float = 2.0
+    prior_sigma_trans: float = 0.01
+    # covisibility threshold (keyframe.cpp:282)
+    covis_weight_thresh: int = 15
+    # culling (localization.cpp:127-150, 334-397)
+    cull_found_ratio: float = 0.25
+    cull_min_obs: int = 3
+    kf_cull_redundancy: float = 0.9
+    # matcher thresholds (orb_matcher.cpp:20-22, 544-576)
+    desc_th_low: int = 50
+    desc_th_high: int = 100
+    match_nn_ratio_motion: float = 0.9
+    match_nn_ratio_local: float = 0.8
+    match_nn_ratio_tri: float = 0.6
+    rot_hist_bins: int = 30
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Front-end settings (inline constants in tracking.cpp)."""
+
+    min_matches_motion: int = 20
+    min_matches_track: int = 10
+    motion_search_radius: float = 7.0
+    local_search_radius: float = 3.0
+    local_kf_cap: int = 80           # tracking.cpp:166
+    temporal_points_cap: int = 100   # tracking.cpp:448
+    # keyframe policy (gmmloc.cpp:324-364)
+    kf_ref_ratio_few: float = 0.4
+    kf_ref_ratio: float = 0.75
+    kf_map_ratio_many: float = 0.2
+    kf_map_ratio: float = 0.35
+    kf_min_inliers: int = 15
+    kf_queue_cap: int = 3
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static array capacities for the on-device world state."""
+
+    max_keyframes: int = 512
+    max_points: int = 65536
+    max_obs_per_point: int = 24
+    local_ba_kfs: int = 32       # local (free) keyframes in one BA window
+    fixed_ba_kfs: int = 64       # fixed observer keyframes
+    local_ba_points: int = 16384
+    local_ba_obs: int = 49152
+    gmm_components_pad: int = 5120   # padded K (v1:3299, v2:5096 -> 5120)
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Top-level config (ref: common ns + launch files)."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    frame: FrameConfig = field(default_factory=FrameConfig)
+    gmm: GMMMapConfig = field(default_factory=GMMMapConfig)
+    loc: LocConfig = field(default_factory=LocConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    caps: CapacityConfig = field(default_factory=CapacityConfig)
+
+    gmm_path: str = ""
+    data_path: str = ""
+    gt_path: str = ""
+    output_path: str = "traj_est.txt"
+    voc_path: str = ""
+    rect_config: str = ""
+    online: bool = False
+    verbose: bool = False
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def euroc_v1_config(**overrides) -> SystemConfig:
+    """The reference's V1 room configuration (cfg/v1.yaml)."""
+    return SystemConfig(**overrides)
+
+
+def derived_pyramid(cfg: SystemConfig):
+    """Pyramid-derived arrays (ref: init_config.hpp:63-79)."""
+    f = cfg.frame
+    sf = f.scale_factors()
+    return {
+        "scale_factors": sf,
+        "scale_factors_inv": 1.0 / sf,
+        "sigma2": sf * sf,
+        "sigma2_inv": 1.0 / (sf * sf),
+        "log_scale_factor": math.log(f.scale_factor),
+        "th_depth": f.th_depth(cfg.camera),
+    }
