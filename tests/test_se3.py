@@ -93,7 +93,7 @@ def test_so3_exp_matches_scipy(rng):
 
 def test_adjoint_property(rng):
     """Ad_T xi == log(T * exp(xi) * T^-1) for small xi."""
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         q, t = se3.exp(jnp.array(rng.standard_normal(6) * 0.5, dtype=jnp.float64))
         xi = jnp.array(rng.standard_normal(6) * 1e-4, dtype=jnp.float64)
         dq, dt = se3.exp(xi)
