@@ -1,0 +1,194 @@
+"""The prior GMM map as a struct-of-arrays pytree on device.
+
+TPU-native replacement for GMM / GaussianComponents (ref:
+/root/reference/gmmloc/src/gmm/gaussian_mixture.cpp,
+include/gmmloc/gmm/gaussian_mixture.h:98-170). The pointer graph of
+GaussianComponent objects becomes a fixed-shape bundle of arrays padded to
+a static capacity; the nanoflann KD-trees disappear in favor of dense
+masked top-k passes (see render.py); the O(K^2) Bhattacharyya neighbor
+graph (gaussian_mixture.cpp:61-78) becomes a blocked pairwise kernel +
+top-k, stored as a (K, NB) index table.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import proto
+from . import gaussian
+
+
+class GMMMap(NamedTuple):
+    """Padded component arrays; `valid` masks real components."""
+
+    means: jax.Array        # (K, 3)
+    covs: jax.Array         # (K, 3, 3)
+    cov_inv: jax.Array      # (K, 3, 3)
+    det: jax.Array          # (K,)
+    scale: jax.Array        # (K, 3) ascending eigenvalues
+    axis: jax.Array         # (K, 3, 3) eigenvectors as columns
+    normal: jax.Array       # (K, 3) smallest-eigenvalue direction
+    sqrt_info: jax.Array    # (K, 3, 3) lower chol of cov_inv
+    is_degenerated: jax.Array  # (K,) bool
+    is_salient: jax.Array   # (K,) bool
+    valid: jax.Array        # (K,) bool
+    neighbors: jax.Array    # (K, NB) int32, -1 padded
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+
+def _det3(m):
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+
+
+def _inv3(m, det):
+    """Adjugate-based 3x3 inverse (cheap, batched, no LAPACK)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    adj = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    det_safe = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return adj / det_safe[..., None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _bh_block(means, covs, dets, row_means, row_covs, row_dets, block=None):
+    """BH distances between `block` row components and all K components."""
+    cov = 0.5 * (row_covs[:, None] + covs[None, :])       # (B, K, 3, 3)
+    det_c = _det3(cov)
+    inv_c = _inv3(cov, det_c)
+    delta = means[None, :] - row_means[:, None]           # (B, K, 3)
+    d0 = jnp.einsum("bki,bkij,bkj->bk", delta, inv_c, delta) / 8.0
+    d1 = 0.5 * jnp.log(
+        jnp.clip(det_c, 1e-300)
+        / jnp.sqrt(jnp.clip(row_dets[:, None] * dets[None, :], 1e-300))
+    )
+    return d0 + d1
+
+
+def build_neighbor_graph(
+    means, covs, dets, valid, thresh: float, cap: int, block: int = 256
+):
+    """(K, cap) neighbor index table: BH distance < thresh (excluding self).
+
+    Ref: GMM ctor neighbor loop gaussian_mixture.cpp:61-78 (unbounded list);
+    here capped at `cap` nearest-by-BH, padded with -1.
+    """
+    K = means.shape[0]
+    neighbors = np.full((K, cap), -1, dtype=np.int32)
+    means_d, covs_d, dets_d = jnp.asarray(means), jnp.asarray(covs), jnp.asarray(dets)
+    valid_np = np.asarray(valid)
+    for start in range(0, K, block):
+        stop = min(start + block, K)
+        dist = _bh_block(
+            means_d, covs_d, dets_d,
+            means_d[start:stop], covs_d[start:stop], dets_d[start:stop],
+        )
+        dist = np.asarray(dist)
+        for r in range(stop - start):
+            i = start + r
+            if not valid_np[i]:
+                continue
+            row = dist[r].copy()
+            row[i] = np.inf
+            row[~valid_np] = np.inf
+            idx = np.where(row < thresh)[0]
+            if len(idx) > cap:
+                idx = idx[np.argsort(row[idx])[:cap]]
+            neighbors[i, : len(idx)] = idx
+    return neighbors
+
+
+def from_arrays(
+    means,
+    covs,
+    pad_to: int | None = None,
+    neighbor_dist_thresh: float = 2.5,
+    neighbor_cap: int = 16,
+    degenerate_eig_thresh: float = 1e-4,
+    salient_eig_thresh: float = 0.2,
+    dtype=jnp.float32,
+) -> GMMMap:
+    """Build a GMMMap from raw (K,3)/(K,3,3) arrays.
+
+    Mirrors GaussianComponent ctor + decompose (gaussian.cpp:36-63) and the
+    GMM ctor (gaussian_mixture.cpp:43-90), all batched.
+    """
+    means = np.asarray(means, dtype=np.float64)
+    covs = np.asarray(covs, dtype=np.float64)
+    K = means.shape[0]
+    cap = pad_to or K
+
+    # eigendecomposition in float64 on host for accuracy (load-time only)
+    evals, evecs = np.linalg.eigh(covs)
+    cov_inv = np.linalg.inv(covs)
+    det = np.linalg.det(covs)
+    is_deg = evals[:, 0] < degenerate_eig_thresh
+    is_sal = (evals[:, 1] > salient_eig_thresh) & (evals[:, 2] > salient_eig_thresh)
+    sqrt_info = np.linalg.cholesky(cov_inv)
+
+    valid = np.zeros(cap, dtype=bool)
+    valid[:K] = True
+
+    def pad(a, fill=0.0):
+        out = np.full((cap,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:K] = a
+        return out
+
+    neighbors_core = build_neighbor_graph(
+        means, covs, det, np.ones(K, dtype=bool), neighbor_dist_thresh, neighbor_cap
+    )
+    neighbors = np.full((cap, neighbor_cap), -1, dtype=np.int32)
+    neighbors[:K] = neighbors_core
+
+    # pad covariances with identity so batched 3x3 math stays finite
+    covs_p = pad(covs)
+    covs_p[K:] = np.eye(3)
+    cov_inv_p = pad(cov_inv)
+    cov_inv_p[K:] = np.eye(3)
+    sqrt_p = pad(sqrt_info)
+    sqrt_p[K:] = np.eye(3)
+    axis_p = pad(evecs)
+    axis_p[K:] = np.eye(3)
+
+    return GMMMap(
+        means=jnp.asarray(pad(means), dtype=dtype),
+        covs=jnp.asarray(covs_p, dtype=dtype),
+        cov_inv=jnp.asarray(cov_inv_p, dtype=dtype),
+        det=jnp.asarray(pad(det, 1.0), dtype=dtype),
+        scale=jnp.asarray(pad(evals), dtype=dtype),
+        axis=jnp.asarray(axis_p, dtype=dtype),
+        normal=jnp.asarray(axis_p[:, :, 0], dtype=dtype),
+        sqrt_info=jnp.asarray(sqrt_p, dtype=dtype),
+        is_degenerated=jnp.asarray(pad(is_deg, False)),
+        is_salient=jnp.asarray(pad(is_sal, False)),
+        valid=jnp.asarray(valid),
+        neighbors=jnp.asarray(neighbors),
+    )
+
+
+def load(path: str, pad_to: int | None = None, **kw) -> GMMMap:
+    """Load a .gmm protobuf stream into a GMMMap.
+
+    Ref: GMMUtility::loadGMMModel (gmm_utils.cpp:9-67).
+    """
+    means, covs, _, _ = proto.load_gmm_file(path)
+    return from_arrays(means, covs, pad_to=pad_to, **kw)
