@@ -1,0 +1,333 @@
+"""Local bundle adjustment with GMM structure factors — Schur-complement LM.
+
+TPU-native replacement for Localization::jointOptimization
+(ref: /root/reference/gmmloc/src/modules/localization_opt.cpp:456-925).
+The g2o sparse graph (SE3 vertices + marginalized point vertices + mono/
+stereo reprojection edges + EdgePt2Gaussian{,Deg} structure edges + the
+first-KF SE3 prior) becomes fixed-capacity arrays and one jitted staged
+LM schedule:
+
+  stage 1 (5 it) -> deactivate bad degenerate-GMM edges
+                    (chi2 > tri_str_thresh * ba_lambda2, :773-789)
+  stage 2 (5 it) -> deactivate bad reprojection edges (chi2 gates /
+                    negative depth), drop Huber (:797-825)
+  stage 3 (40 it)
+
+Each LM iteration eliminates the landmark blocks by Schur complement:
+the reduced (6L x 6L) camera system is built with dense MXU-shaped
+einsums over a (P, L) block table and solved directly — the TPU
+counterpart of g2o's BlockSolver_6_3 with marginalized points.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from . import factors
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+# GMM association types (mirrors MapPoint provenance semantics)
+STR_NONE = 0
+STR_DEG = 1      # degenerate component -> 1D point-to-plane edge
+STR_NONDEG = 2   # full component -> 3D sqrt-info whitened edge
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity local-BA problem. C camera slots (first n_free are
+    optimizable), P point slots, O observation slots."""
+
+    cam_q: jax.Array          # (C,4) T_cw rotations
+    cam_t: jax.Array          # (C,3)
+    cam_valid: jax.Array      # (C,) bool
+    pts: jax.Array            # (P,3) world points
+    pt_valid: jax.Array       # (P,) bool
+    obs_cam: jax.Array        # (O,) int32
+    obs_pt: jax.Array         # (O,) int32
+    obs_uvr: jax.Array        # (O,3)
+    obs_stereo: jax.Array     # (O,) bool
+    obs_sigma2_inv: jax.Array  # (O,)
+    obs_valid: jax.Array      # (O,) bool
+    str_type: jax.Array       # (P,) int32 STR_*
+    str_normal: jax.Array     # (P,3) dominant normal (deg)
+    str_mean: jax.Array       # (P,3) component mean
+    str_sqrt_info: jax.Array  # (P,3,3) lower chol of cov_inv (nondeg)
+    prior_q: jax.Array        # (4,) prior for camera slot 0
+    prior_t: jax.Array        # (3,)
+    has_prior: jax.Array      # () bool
+
+
+class BAResult(NamedTuple):
+    cam_q: jax.Array
+    cam_t: jax.Array
+    pts: jax.Array
+    obs_bad: jax.Array        # (O,) bool — erase these observations
+    str_drop: jax.Array       # (P,) bool — downgrade GMM association
+    obs_chi2: jax.Array       # (O,)
+    cost: jax.Array           # () final total cost
+
+
+def _inv3(m):
+    det = jnp.linalg.det(m)
+    det_safe = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    return jnp.linalg.inv(
+        jnp.where(jnp.abs(det)[..., None, None] < 1e-20, jnp.eye(3, dtype=m.dtype), m)
+    ), det
+
+
+def _obs_terms(cam, prob: BAProblem, cam_q, cam_t, pts):
+    """Residual/Jacobian pass over all observation edges."""
+    q = cam_q[prob.obs_cam]
+    t = cam_t[prob.obs_cam]
+    x = pts[prob.obs_pt]
+    r, pc, depth_ok = factors.reproj_residual(
+        cam, q, t, x, prob.obs_uvr, prob.obs_stereo
+    )
+    Jc = factors.stereo_proj_jac_pose(cam, pc, prob.obs_stereo)    # (O,3,6)
+    Jp = factors.stereo_proj_jac_point(cam, q, pc, prob.obs_stereo)  # (O,3,3)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_sigma2_inv
+    return r, Jc, Jp, chi2, depth_ok
+
+
+def _gmm_terms(prob: BAProblem, pts, ba_lambda2, active_str):
+    """Structure-factor contributions to the point blocks.
+
+    Deg:    H += l2 n n^T, b += l2 (n^T(x-m)) n     (info = ba_lambda2*I1)
+    Nondeg: r = L^T (x-m); J = L^T; info = I3        (:676)
+            H += L L^T (= cov_inv), b += L (L^T (x-m))
+    """
+    is_deg = (prob.str_type == STR_DEG) & active_str
+    is_nd = (prob.str_type == STR_NONDEG) & active_str
+
+    rs = factors.pt2plane_residual(pts, prob.str_mean, prob.str_normal)  # (P,)
+    n = prob.str_normal
+    H_deg = ba_lambda2 * n[:, :, None] * n[:, None, :]
+    b_deg = (ba_lambda2 * rs)[:, None] * n
+
+    L = prob.str_sqrt_info
+    d = pts - prob.str_mean
+    r_nd = jnp.einsum("pji,pj->pi", L, d)
+    H_nd = jnp.einsum("pij,pkj->pik", L, L)
+    b_nd = jnp.einsum("pij,pj->pi", L, r_nd)
+
+    H = jnp.where(is_deg[:, None, None], H_deg, 0.0) + jnp.where(
+        is_nd[:, None, None], H_nd, 0.0
+    )
+    b = jnp.where(is_deg[:, None], b_deg, 0.0) + jnp.where(is_nd[:, None], b_nd, 0.0)
+    cost = jnp.where(is_deg, ba_lambda2 * rs * rs, 0.0) + jnp.where(
+        is_nd, jnp.sum(r_nd * r_nd, axis=-1), 0.0
+    )
+    return H, b, cost
+
+
+def _prior_terms(prob: BAProblem, cam_q, cam_t, rot_info, trans_info):
+    """First-KF SE3 prior (localization_opt.cpp:558-582)."""
+    r = factors.se3_prior_residual(cam_q[0], cam_t[0], prob.prior_q, prob.prior_t)
+    J = factors.se3_prior_jacobian(cam_q[0], cam_t[0], prob.prior_q, prob.prior_t)
+    info = jnp.concatenate(
+        [jnp.full(3, rot_info, r.dtype), jnp.full(3, trans_info, r.dtype)]
+    )
+    w = prob.has_prior.astype(r.dtype)
+    H = w * jnp.einsum("ij,i,ik->jk", J, info, J)
+    b = w * jnp.einsum("ij,i,i->j", J, info, r)
+    cost = w * jnp.sum(info * r * r)
+    return H, b, cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "n_free", "ba_lambda2", "tri_str_thresh",
+        "prior_rot_info", "prior_trans_info",
+        "iters1", "iters2", "iters3",
+    ),
+)
+def solve_local_ba(
+    cam: cam_mod.CameraParams,
+    prob: BAProblem,
+    n_free: int,
+    ba_lambda2: float = 400.0,
+    tri_str_thresh: float = 0.0064,
+    prior_rot_info: float = 1.0 / (2.0 * jnp.pi / 180.0) ** 2,
+    prior_trans_info: float = 1.0 / 0.01**2,
+    iters1: int = 5,
+    iters2: int = 5,
+    iters3: int = 40,
+) -> BAResult:
+    L = n_free
+    P = prob.pts.shape[0]
+    dtype = prob.pts.dtype
+    huber_delta = jnp.where(
+        prob.obs_stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO)
+    ).astype(dtype)
+    chi2_th = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
+
+    free_mask = (jnp.arange(prob.cam_q.shape[0]) < L) & prob.cam_valid
+    obs_on_free = (prob.obs_cam < L) & free_mask[jnp.clip(prob.obs_cam, 0, L - 1)]
+
+    def total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber):
+        r, _, _, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
+        hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
+        # Huber cost: rho(s) = s for s<=d^2 else 2 d sqrt(s) - d^2
+        s = chi2
+        d = huber_delta
+        rho = jnp.where(
+            use_huber & (s > d * d), 2.0 * d * jnp.sqrt(jnp.clip(s, 1e-24)) - d * d, s
+        )
+        c_obs = jnp.sum(jnp.where(active_obs, rho, 0.0))
+        _, _, c_str = _gmm_terms(prob, pts, ba_lambda2, active_str)
+        _, _, c_pri = _prior_terms(
+            prob, cam_q, cam_t, prior_rot_info, prior_trans_info
+        )
+        return c_obs + jnp.sum(jnp.where(prob.pt_valid, c_str, 0.0)) + c_pri
+
+    def lm_iteration(cam_q, cam_t, pts, lam, active_obs, active_str, use_huber):
+        r, Jc, Jp, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
+        hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
+        w = prob.obs_sigma2_inv * hw * active_obs.astype(dtype)
+
+        # point blocks
+        H_pp = jax.ops.segment_sum(
+            jnp.einsum("oij,o,oik->ojk", Jp, w, Jp), prob.obs_pt, num_segments=P
+        )
+        b_p = jax.ops.segment_sum(
+            jnp.einsum("oij,o,oi->oj", Jp, w, r), prob.obs_pt, num_segments=P
+        )
+        H_str, b_str, _ = _gmm_terms(prob, pts, ba_lambda2, active_str)
+        H_pp = H_pp + jnp.where(prob.pt_valid[:, None, None], H_str, 0.0)
+        b_p = b_p + jnp.where(prob.pt_valid[:, None], b_str, 0.0)
+
+        # camera blocks (free cameras only)
+        cam_idx = jnp.clip(prob.obs_cam, 0, L - 1)
+        w_free = w * obs_on_free.astype(dtype)
+        H_cc = jax.ops.segment_sum(
+            jnp.einsum("oij,o,oik->ojk", Jc, w_free, Jc), cam_idx, num_segments=L
+        )
+        b_c = jax.ops.segment_sum(
+            jnp.einsum("oij,o,oi->oj", Jc, w_free, r), cam_idx, num_segments=L
+        )
+        H_pri, b_pri, _ = _prior_terms(
+            prob, cam_q, cam_t, prior_rot_info, prior_trans_info
+        )
+        H_cc = H_cc.at[0].add(H_pri)
+        b_c = b_c.at[0].add(b_pri)
+
+        # camera-point coupling blocks U[p,l] = Jc^T W Jp
+        U = jnp.zeros((P, L, 6, 3), dtype=dtype)
+        U = U.at[prob.obs_pt, cam_idx].add(
+            jnp.einsum("oij,o,oik->ojk", Jc, w_free, Jp)
+        )
+
+        # LM damping (multiplicative on block diagonals)
+        eyep = jnp.eye(3, dtype=dtype)
+        H_pp_d = H_pp + lam * (
+            jnp.einsum("pii->p", H_pp)[:, None, None] / 3.0 + 1e-9
+        ) * eyep
+        # guard invalid points
+        H_pp_d = jnp.where(
+            prob.pt_valid[:, None, None], H_pp_d, jnp.eye(3, dtype=dtype)
+        )
+        Hpp_inv, _ = _inv3(H_pp_d)
+
+        eyec = jnp.eye(6, dtype=dtype)
+        H_cc_d = H_cc + lam * (
+            jnp.einsum("lii->l", H_cc)[:, None, None] / 6.0 + 1e-9
+        ) * eyec
+
+        # Schur reduction
+        T = jnp.einsum("plij,pjk->plik", U, Hpp_inv)              # (P,L,6,3)
+        S_red = -jnp.einsum("plij,pmkj->lmik", T, U)              # (P sum)
+        S_red = S_red.at[jnp.arange(L), jnp.arange(L)].add(H_cc_d)
+        b_red = b_c - jnp.einsum("plij,pj->li", T, b_p)           # (L,6)
+
+        # mask invalid free-camera slots -> identity rows
+        fm = free_mask[:L]
+        S_flat = S_red.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
+        diag_fix = jnp.repeat(~fm, 6)
+        S_flat = jnp.where(
+            diag_fix[:, None] | diag_fix[None, :],
+            jnp.eye(L * 6, dtype=dtype),
+            S_flat,
+        )
+        b_flat = jnp.where(jnp.repeat(fm, 6), b_red.reshape(-1), 0.0)
+
+        dc = -jnp.linalg.solve(S_flat, b_flat).reshape(L, 6)
+        dc = jnp.where(fm[:, None], dc, 0.0)
+
+        # back-substitute points
+        rhs_p = b_p + jnp.einsum("plij,li->pj", U, dc)
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, rhs_p)
+        dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+
+        # apply
+        new_q_free, new_t_free = se3.boxplus(cam_q[:L], cam_t[:L], dc)
+        new_q = jnp.concatenate([new_q_free, cam_q[L:]], axis=0)
+        new_t = jnp.concatenate([new_t_free, cam_t[L:]], axis=0)
+        new_pts = pts + dp
+        return new_q, new_t, new_pts
+
+    def run_stage(state, active_obs, active_str, use_huber, iters):
+        def body(_, carry):
+            cam_q, cam_t, pts, lam, cost = carry
+            nq, nt, npts = lm_iteration(
+                cam_q, cam_t, pts, lam, active_obs, active_str, use_huber
+            )
+            new_cost = total_cost(nq, nt, npts, active_obs, active_str, use_huber)
+            accept = new_cost < cost
+            cam_q = jnp.where(accept, nq, cam_q)
+            cam_t = jnp.where(accept, nt, cam_t)
+            pts = jnp.where(accept, npts, pts)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
+            cost = jnp.minimum(new_cost, cost)
+            return cam_q, cam_t, pts, lam, cost
+
+        cam_q, cam_t, pts, lam0, cost0 = state
+        cost0 = total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber)
+        return jax.lax.fori_loop(0, iters, body, (cam_q, cam_t, pts, lam0, cost0))
+
+    use_huber = jnp.array(True)
+    active_obs = prob.obs_valid
+    active_str = prob.pt_valid & (prob.str_type != STR_NONE)
+
+    state = (prob.cam_q, prob.cam_t, prob.pts, jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype))
+    state = run_stage(state, active_obs, active_str, use_huber, iters1)
+
+    # stage-1 -> stage-2 gate: drop bad degenerate structure edges (:773-789)
+    pts_s1 = state[2]
+    rs = factors.pt2plane_residual(pts_s1, prob.str_mean, prob.str_normal)
+    chi2_deg = ba_lambda2 * rs * rs
+    bad_deg = (prob.str_type == STR_DEG) & (chi2_deg > tri_str_thresh * ba_lambda2)
+    active_str = active_str & ~bad_deg
+
+    state = run_stage(state, active_obs, active_str, use_huber, iters2)
+
+    # stage-2 -> stage-3 gate: drop bad reprojection edges, drop Huber (:797-825)
+    cam_q2, cam_t2, pts_s2 = state[0], state[1], state[2]
+    _, _, _, chi2_o, depth_ok = _obs_terms(cam, prob, cam_q2, cam_t2, pts_s2)
+    bad_obs = (chi2_o > chi2_th) | ~depth_ok
+    active_obs = active_obs & ~bad_obs
+    use_huber = jnp.array(False)
+
+    state = run_stage(state, active_obs, active_str, use_huber, iters3)
+    cam_q_f, cam_t_f, pts_f = state[0], state[1], state[2]
+
+    # final classification (:837-894): which observations to erase, which
+    # GMM associations to downgrade
+    _, _, _, chi2_f, depth_ok_f = _obs_terms(cam, prob, cam_q_f, cam_t_f, pts_f)
+    obs_bad = prob.obs_valid & ((chi2_f > chi2_th) | ~depth_ok_f)
+    rs_f = factors.pt2plane_residual(pts_f, prob.str_mean, prob.str_normal)
+    chi2_deg_f = ba_lambda2 * rs_f * rs_f
+    str_drop = (
+        prob.pt_valid
+        & (prob.str_type == STR_DEG)
+        & (chi2_deg_f > tri_str_thresh * ba_lambda2)
+    )
+    cost_f = total_cost(cam_q_f, cam_t_f, pts_f, active_obs, active_str, use_huber)
+    return BAResult(cam_q_f, cam_t_f, pts_f, obs_bad, str_drop, chi2_f, cost_f)

@@ -1,0 +1,115 @@
+"""Pose-only Gauss-Newton/LM solver with staged inlier reclassification.
+
+TPU-native replacement for Tracking::optimizeCurrentPose
+(ref: /root/reference/gmmloc/src/modules/tracking_opt.cpp:21-227):
+one SE3 vertex, N mono/stereo reprojection edges with Huber kernels,
+4 rounds x 10 iterations, chi2 reclassification (5.991 mono / 7.815
+stereo) between rounds, robust kernel dropped for the final round.
+
+The whole schedule runs inside one jit: edges are fixed-capacity arrays
+with validity masks, outliers are mask updates, and each LM iteration is
+a batched 6x6 normal-equation solve fed by one fused residual/Jacobian
+pass over all edges (MXU-shaped einsums).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from . import factors
+
+
+class PoseOptResult(NamedTuple):
+    q: jax.Array           # (4,) optimized T_cw rotation
+    t: jax.Array           # (3,) optimized T_cw translation
+    is_outlier: jax.Array  # (N,) bool, per input edge
+    num_inliers: jax.Array  # () int32 — valid edges - outliers
+    chi2: jax.Array        # (N,) final per-edge chi2
+
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+def _edge_terms(cam, q, t, x_w, obs_uvr, is_stereo, sigma2_inv, weight_extra):
+    """Residual, pose-Jacobian, chi2 for all edges in one pass."""
+    r, pc, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
+    J = factors.stereo_proj_jac_pose(cam, pc, is_stereo)      # (N,3,6)
+    chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
+    w = sigma2_inv * weight_extra                             # (N,)
+    H = jnp.einsum("nij,n,nik->jk", J, w, J)                  # (6,6)
+    b = jnp.einsum("nij,n,ni->j", J, w, r)                    # (6,)
+    return chi2, H, b
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters"))
+def optimize_pose(
+    cam: cam_mod.CameraParams,
+    q0,
+    t0,
+    x_w,
+    obs_uvr,
+    is_stereo,
+    sigma2_inv,
+    valid,
+    rounds: int = 4,
+    iters: int = 10,
+) -> PoseOptResult:
+    """Run the 4x10 staged pose-only solve.
+
+    Args:
+      x_w: (N,3) landmark positions (world).
+      obs_uvr: (N,3) measurements (u, v, u_right); u_right ignored for mono.
+      is_stereo: (N,) bool.
+      sigma2_inv: (N,) per-edge information scale (pyramid octave).
+      valid: (N,) bool — edge exists (has an associated landmark).
+    """
+    delta_mono = jnp.sqrt(CHI2_MONO)
+    delta_stereo = jnp.sqrt(CHI2_STEREO)
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    huber_delta = jnp.where(is_stereo, delta_stereo, delta_mono)
+
+    def round_body(rd, carry):
+        q, t, outlier = carry
+        active = valid & ~outlier
+        use_huber = rd < 3  # robust kernel removed at it==2 (tracking_opt.cpp:181,207)
+
+        def gn_iter(_, qt):
+            q_i, t_i = qt
+            r, pc, _ = factors.reproj_residual(cam, q_i, t_i, x_w, obs_uvr, is_stereo)
+            J = factors.stereo_proj_jac_pose(cam, pc, is_stereo)
+            chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
+            hw = jnp.where(
+                use_huber, factors.huber_weight(chi2, huber_delta), 1.0
+            )
+            w = sigma2_inv * hw * active.astype(r.dtype)
+            H = jnp.einsum("nij,n,nik->jk", J, w, J)
+            b = jnp.einsum("nij,n,ni->j", J, w, r)
+            H = H + jnp.eye(6, dtype=H.dtype) * 1e-6  # mild LM damping
+            dx = -jnp.linalg.solve(H, b)
+            q_n, t_n = se3.boxplus(q_i, t_i, dx)
+            return q_n, t_n
+
+        q, t = jax.lax.fori_loop(0, iters, gn_iter, (q, t))
+
+        # reclassify ALL valid edges (outliers can come back; tracking_opt:163-178)
+        r, _, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
+        chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
+        outlier = valid & (chi2 > chi2_th)
+        return q, t, outlier
+
+    outlier0 = jnp.zeros_like(valid)
+    q, t, outlier = jax.lax.fori_loop(
+        0, rounds, round_body, (q0, t0, outlier0)
+    )
+
+    r, _, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
+    chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
+    num_inliers = jnp.sum(valid & ~outlier).astype(jnp.int32)
+    return PoseOptResult(q, t, outlier, num_inliers, chi2)
