@@ -1,0 +1,258 @@
+"""Descriptor matching kernels: Hamming distances + guided search strategies.
+
+TPU-native replacement for ORBmatcher (ref:
+/root/reference/gmmloc/src/cv/orb_matcher.cpp). The reference's per-query
+grid-bucket candidate scans become dense masked (N x M) passes: one
+XOR+popcount distance matrix (or an MXU bit-matmul), window/level/ratio
+gates as masks, argmin per query, and the rotation-consistency histogram
+as a batched bincount + top-3 filter (orb_matcher.cpp:544-576).
+
+Thresholds TH_LOW=50 / TH_HIGH=100 (orb_matcher.cpp:20-22).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+
+def hamming_matrix(desc_a, desc_b):
+    """(N,32)x(M,32) uint8 descriptors -> (N,M) int32 Hamming distances.
+
+    Replaces the bit-hack popcount loop (orb_matcher.cpp:580-594) with a
+    vectorized XOR + population_count.
+    """
+    x = jax.lax.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def rotation_consistency_mask(angle_a, angle_b, matched, bins: int = HISTO_LENGTH):
+    """Keep only matches whose angle difference falls in the 3 dominant
+    histogram bins (ref: ComputeThreeMaxima + rotHist filter,
+    orb_matcher.cpp:544-576).
+
+    angle_a/angle_b in degrees; `matched` bool mask over pairs.
+    """
+    rot = angle_a - angle_b
+    rot = jnp.where(rot < 0.0, rot + 360.0, rot)
+    factor = 1.0 / (360.0 / bins)
+    bin_idx = jnp.round(rot * factor).astype(jnp.int32)
+    bin_idx = jnp.where(bin_idx == bins, 0, bin_idx)
+    counts = jnp.zeros(bins, jnp.int32).at[bin_idx].add(matched.astype(jnp.int32))
+    top3 = jax.lax.top_k(counts, 3)[0]
+    # reference drops bins 2/3 when much smaller than max (<0.1*max)
+    mx = top3[0]
+    keep_count = jnp.where(
+        top3 > 0.1 * mx, top3, -1
+    )
+    good_bin = (
+        (counts[bin_idx] == top3[0])
+        | ((counts[bin_idx] == top3[1]) & (keep_count[1] >= 0))
+        | ((counts[bin_idx] == top3[2]) & (keep_count[2] >= 0))
+    )
+    return matched & good_bin
+
+
+@functools.partial(jax.jit, static_argnames=("use_rotation",))
+def search_by_projection(
+    proj_uv,        # (N,2) projected query positions in the current frame
+    proj_ur,        # (N,) projected right-u (<0 -> no stereo gate)
+    query_desc,     # (N,32) uint8
+    query_octave,   # (N,) int32 predicted/source octave
+    query_angle,    # (N,) degrees (for rotation consistency; 0s if unused)
+    query_valid,    # (N,) bool
+    radius,         # (N,) search radius in px (already octave-scaled)
+    level_lo,       # (N,) min feature octave (inclusive)
+    level_hi,       # (N,) max feature octave (inclusive)
+    feat_uv,        # (M,2) current-frame features
+    feat_ur,        # (M,)
+    feat_desc,      # (M,32)
+    feat_octave,    # (M,)
+    feat_angle,     # (M,)
+    feat_valid,     # (M,) bool
+    feat_taken,     # (M,) bool — already has a landmark (skip as target)
+    desc_thresh: int = TH_HIGH,
+    nn_ratio: float = 1.0,
+    use_rotation: bool = False,
+):
+    """Generic guided projection search.
+
+    Covers both reference variants:
+      - map-point-to-frame (orb_matcher.cpp:27-110): ratio test between
+        best/second-best when they sit on the same level.
+      - frame-to-frame motion model (:410-542): stereo right-u gate +
+        rotation histogram.
+
+    Returns (match_idx (N,) int32 feature index or -1, best_dist (N,)).
+    """
+    d_uv = feat_uv[None, :, :] - proj_uv[:, None, :]
+    in_window = (
+        (jnp.abs(d_uv[..., 0]) < radius[:, None])
+        & (jnp.abs(d_uv[..., 1]) < radius[:, None])
+    )
+    in_level = (feat_octave[None, :] >= level_lo[:, None]) & (
+        feat_octave[None, :] <= level_hi[:, None]
+    )
+    # stereo gate (orb_matcher.cpp:468-476): |proj_ur - feat_ur| < radius
+    stereo_ok = jnp.where(
+        (proj_ur[:, None] >= 0.0) & (feat_ur[None, :] >= 0.0),
+        jnp.abs(proj_ur[:, None] - feat_ur[None, :]) < radius[:, None],
+        True,
+    )
+    cand = (
+        in_window
+        & in_level
+        & stereo_ok
+        & feat_valid[None, :]
+        & ~feat_taken[None, :]
+        & query_valid[:, None]
+    )
+
+    dist = hamming_matrix(query_desc, feat_desc)
+    dist = jnp.where(cand, dist, 1 << 20)
+
+    best_dist, best_idx = jax.lax.top_k(-dist, 2)
+    best_dist = -best_dist
+    best = best_idx[:, 0]
+    # ratio test applies when best and runner-up are on the same octave
+    # (orb_matcher.cpp:96-104)
+    same_level = feat_octave[best_idx[:, 0]] == feat_octave[best_idx[:, 1]]
+    ratio_ok = jnp.where(
+        same_level & (best_dist[:, 1] < (1 << 19)),
+        best_dist[:, 0].astype(jnp.float32)
+        <= nn_ratio * best_dist[:, 1].astype(jnp.float32),
+        True,
+    )
+    matched = (best_dist[:, 0] <= desc_thresh) & ratio_ok & query_valid
+
+    if use_rotation:
+        matched = rotation_consistency_mask(
+            query_angle, feat_angle[best], matched
+        )
+
+    # resolve duplicate targets: keep the query with the smallest distance
+    # (the sequential reference implicitly keeps the last writer; we keep
+    # the best match per feature instead)
+    N = proj_uv.shape[0]
+    M = feat_uv.shape[0]
+    d0 = jnp.where(matched, best_dist[:, 0], 1 << 20)
+    best_for_feat = jnp.full((M,), 1 << 20, jnp.int32).at[best].min(d0)
+    winner = matched & (d0 == best_for_feat[best])
+    # among equal-distance duplicates keep lowest query index
+    first_q = jnp.full((M,), N, jnp.int32).at[
+        jnp.where(winner, best, M - 1)
+    ].min(jnp.where(winner, jnp.arange(N), N))
+    winner = winner & (first_q[best] == jnp.arange(N))
+
+    return jnp.where(winner, best, -1), jnp.where(winner, d0, -1)
+
+
+@jax.jit
+def mutual_best_match(desc_a, valid_a, desc_b, valid_b, max_dist: int = TH_LOW):
+    """Simple mutual-nearest-neighbor matching over full descriptor sets.
+
+    TPU-side replacement for BoW-bucketed matching (searchByBoW,
+    orb_matcher.cpp:295-408): with the full (N,M) Hamming matrix on the
+    MXU there is no need for the vocabulary acceleration structure.
+    Returns (N,) index into b or -1.
+    """
+    dist = hamming_matrix(desc_a, desc_b)
+    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, 1 << 20)
+    best_b = jnp.argmin(dist, axis=1)
+    best_a = jnp.argmin(dist, axis=0)
+    d = jnp.take_along_axis(dist, best_b[:, None], axis=1)[:, 0]
+    mutual = best_a[best_b] == jnp.arange(desc_a.shape[0])
+    ok = mutual & (d <= max_dist) & valid_a
+    return jnp.where(ok, best_b, -1), jnp.where(ok, d, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("use_rotation",))
+def search_for_triangulation(
+    uv1, ur1, desc1, octave1, angle1, free1,   # KF1 features (no landmark yet)
+    uv2, ur2, desc2, octave2, angle2, free2,   # KF2 features
+    fmat,          # (3,3) fundamental matrix F with l2 = F^T p1
+    epipole2,      # (2,) projection of KF1 center into KF2
+    sigma2,        # (L,) per-octave sigma^2 table
+    use_rotation: bool = False,
+):
+    """Epipolar-constrained descriptor matching for triangulation.
+
+    Ref: ORBmatcher::searchForTriangulation (orb_matcher.cpp:141-293) +
+    checkEpipolarDist (:119-139). The DBoW2 FeatureVector node-bucket
+    iteration is an acceleration structure only — the dense masked
+    (N1, N2) Hamming pass on the MXU replaces it wholesale.
+
+    Returns (match12 (N1,) int32 -> index into KF2 or -1).
+    """
+    dist = hamming_matrix(desc1, desc2)
+
+    # epipolar line of p1 in image 2: l = F^T [u1, v1, 1]
+    p1h = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)  # (N1,3)
+    line = p1h @ fmat                                                  # (N1,3)
+    num = (
+        line[:, None, 0] * uv2[None, :, 0]
+        + line[:, None, 1] * uv2[None, :, 1]
+        + line[:, None, 2]
+    )
+    den = line[:, 0] ** 2 + line[:, 1] ** 2
+    dsqr = num * num / jnp.clip(den[:, None], 1e-12)
+    epi_ok = (den[:, None] > 0) & (
+        dsqr < 3.84 * sigma2[octave2][None, :]
+    )
+
+    # mono-mono pairs too close to the epipole are rejected (:225-231)
+    stereo1 = ur1 >= 0
+    stereo2 = ur2 >= 0
+    d_epi = jnp.sum((uv2 - epipole2[None, :]) ** 2, axis=-1)           # (N2,)
+    sf2 = jnp.sqrt(sigma2)[octave2]  # scale_factors == sqrt(sigma2)
+    epipole_ok = jnp.where(
+        (~stereo1[:, None]) & (~stereo2[None, :]),
+        d_epi[None, :] >= 100.0 * sf2[None, :],
+        True,
+    )
+
+    cand = (
+        free1[:, None]
+        & free2[None, :]
+        & epi_ok
+        & epipole_ok
+        & (dist <= TH_LOW)
+    )
+    dist = jnp.where(cand, dist, 1 << 20)
+    best2 = jnp.argmin(dist, axis=1)
+    d0 = jnp.take_along_axis(dist, best2[:, None], axis=1)[:, 0]
+    matched = d0 <= TH_LOW
+
+    if use_rotation:
+        matched = rotation_consistency_mask(angle1, angle2[best2], matched)
+
+    # uniqueness on KF2 side (matched2[] in the reference): keep best
+    N1, N2 = uv1.shape[0], uv2.shape[0]
+    dd = jnp.where(matched, d0, 1 << 20)
+    best_for_2 = jnp.full((N2,), 1 << 20, jnp.int32).at[best2].min(dd)
+    winner = matched & (dd == best_for_2[best2])
+    first_q = jnp.full((N2,), N1, jnp.int32).at[
+        jnp.where(winner, best2, N2 - 1)
+    ].min(jnp.where(winner, jnp.arange(N1), N1))
+    winner = winner & (first_q[best2] == jnp.arange(N1))
+    return jnp.where(winner, best2, -1)
+
+
+def fundamental_matrix(q1, t1, q2, t2, K1, K2):
+    """F with l2 = F^T p1 for poses T_c1_w, T_c2_w.
+
+    Ref: MathUtils::computeFundamentalMatrix (math_utils.cpp:17-44):
+    E = skew(t_c1_c2) @ R_c1_c2, F = K1^-T E K2^-1.
+    """
+    from ..geometry import se3 as _se3
+
+    q12 = _se3.quat_mul(q1, _se3.quat_conj(q2))
+    t12 = -_se3.quat_rotate(q12, t2) + t1
+    E = _se3.skew(t12) @ _se3.quat_to_matrix(q12)
+    return jnp.linalg.inv(K1).T @ E @ jnp.linalg.inv(K2)

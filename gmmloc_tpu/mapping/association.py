@@ -1,0 +1,286 @@
+"""Keyframe-side GMM association: render, candidate search, batched
+point-to-component optimization with neighbor refinement.
+
+TPU-native replacement for GMMLoc::{associateMapElements,
+checkMapAssociation, optimizePoint, createMapPointsFromStereo}
+(ref: /root/reference/gmmloc/src/gmmloc_opt.cpp:19-352).
+
+The reference's per-feature, per-candidate sequential mini g2o solves
+with early exits become one vmapped solve over ALL (feature x candidate)
+pairs followed by masked argmin selection, then one more vmapped solve
+for the neighbor-refinement switch (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..geometry import camera as cam_mod
+from ..gmm import gaussian, mixture, render as render_mod
+from ..mapping import map_state as ms
+from ..solver import point_solver
+
+
+class GMMAssociator:
+    def __init__(self, cfg: SystemConfig, cam: cam_mod.CameraParams, gmap: mixture.GMMMap):
+        self.cfg = cfg
+        self.cam = cam
+        self.gmap = gmap
+        self._means = np.asarray(gmap.means)
+        self._cov_inv = np.asarray(gmap.cov_inv)
+        self._normal = np.asarray(gmap.normal)
+        self._neighbors = np.asarray(gmap.neighbors)
+        self._deg = np.asarray(gmap.is_degenerated)
+
+    # ------------------------------------------------------------------
+
+    def associate_keyframe(self, world: ms.MapState, kf: int) -> None:
+        """renderView + searchCorrespondence -> kf_comp_cand
+        (ref: associateMapElements, gmmloc_opt.cpp:115-153)."""
+        g = self.cfg.gmm
+        r2d = render_mod.render_view(
+            self.gmap,
+            self.cam,
+            jnp.array(world.kf_q[kf], jnp.float32),
+            jnp.array(world.kf_t[kf], jnp.float32),
+            view_cos_deg=g.view_cos_deg,
+            cov2d_scale_thresh=g.cov2d_scale_thresh,
+            occlusion_bh_thresh=g.occlusion_bh_thresh,
+        )
+        cand = render_mod.search_correspondence(
+            r2d,
+            jnp.array(world.kf_feat_uv[kf], jnp.float32),
+            jnp.array(world.kf_feat_valid[kf]),
+            knn=g.assoc_knn,
+            mdist2_thresh=g.assoc_mdist2_thresh,
+        )
+        world.kf_comp_cand[kf] = np.asarray(cand)
+
+    # ------------------------------------------------------------------
+
+    def _chi2_np(self, comp_ids, pts):
+        """Host-side component chi2 (Mahalanobis^2) for selected comps."""
+        d = pts - self._means[comp_ids]
+        return np.einsum("ni,nij,nj->n", d, self._cov_inv[comp_ids], d)
+
+    def check_map_association_batch(
+        self, world: ms.MapState, kf: int, feat_idx: np.ndarray, pts0: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched checkMapAssociation (gmmloc_opt.cpp:156-258).
+
+        Args:
+          feat_idx: (M,) feature indices with stereo depth and >=1 candidate.
+          pts0: (M,3) unprojected initial points (world frame).
+        Returns (assoc_comp (M,) int32 or -1, pt_out (M,3)).
+        """
+        cfg = self.cfg.loc
+        M = len(feat_idx)
+        K = self.cfg.gmm.assoc_knn
+        cand = world.kf_comp_cand[kf][feat_idx]            # (M, K) comp ids
+        q_cw = world.kf_q[kf].astype(np.float32)
+        t_cw = world.kf_t[kf].astype(np.float32)
+
+        uv = world.kf_feat_uv[kf][feat_idx]
+        ur = world.kf_feat_ur[kf][feat_idx]
+        obs_uvr = np.concatenate([uv, ur[:, None]], -1)
+        sigma2_inv = world.pyr["sigma2_inv"][world.kf_feat_octave[kf][feat_idx]]
+
+        # proj_z^2 with z clamped at >= 1 (gmmloc_opt.cpp:171-174)
+        R = ms._quat_to_mat(world.kf_q[kf])
+        z = (pts0 @ R.T + world.kf_t[kf])[:, 2]
+        z = np.maximum(z, 1.0)
+        str_info = cfg.tri_lambda2 * z * z
+
+        def run_opt(comp_ids_flat, pts_flat, obs_flat, s2i_flat, sinfo_flat):
+            safe = np.maximum(comp_ids_flat, 0)
+            res = point_solver.optimize_point_stereo(
+                self.cam,
+                jnp.array(pts_flat, jnp.float32),
+                jnp.tile(jnp.array(q_cw), (len(pts_flat), 1)),
+                jnp.tile(jnp.array(t_cw), (len(pts_flat), 1)),
+                jnp.array(obs_flat, jnp.float32),
+                jnp.array(s2i_flat, jnp.float32),
+                jnp.array(self._normal[safe], jnp.float32),
+                jnp.array(self._means[safe], jnp.float32),
+                jnp.array(sinfo_flat, jnp.float32),
+                chi2_proj_thresh=cfg.chi2_stereo,
+                str_chi2_thresh=cfg.tri_str_thresh * cfg.tri_lambda2,
+                iters=cfg.point_opt_iters,
+                tri_check_str_chi2=cfg.tri_check_str_chi2,
+            )
+            return (
+                np.asarray(res.x),
+                np.asarray(res.chi2_proj),
+                np.asarray(res.ok) & (comp_ids_flat >= 0),
+            )
+
+        # pass 1: all (feature x candidate) pairs
+        flat_comp = cand.reshape(-1)
+        x1, c1, ok1 = run_opt(
+            flat_comp,
+            np.repeat(pts0, K, axis=0),
+            np.repeat(obs_uvr, K, axis=0),
+            np.repeat(sigma2_inv, K),
+            np.repeat(str_info, K),
+        )
+        x1 = x1.reshape(M, K, 3)
+        c1 = np.where(ok1, c1, np.inf).reshape(M, K)
+        best = np.argmin(c1, axis=1)
+        found = np.isfinite(c1[np.arange(M), best])
+        best_comp = cand[np.arange(M), best]
+        best_pt = x1[np.arange(M), best]
+
+        assoc = np.full(M, -1, np.int32)
+        pt_out = pts0.copy()
+
+        # neighbor refinement (gmmloc_opt.cpp:209-228): switch to a neighbor
+        # with lower chi2 at the solution, re-optimize with it.
+        fi = np.where(found)[0]
+        if len(fi):
+            g = best_comp[fi]
+            ll = self._chi2_np(g, best_pt[fi])
+            nbs = self._neighbors[g]                      # (m, NB)
+            nb_safe = np.maximum(nbs, 0)
+            d = best_pt[fi][:, None, :] - self._means[nb_safe]
+            ln = np.einsum("mki,mkij,mkj->mk", d, self._cov_inv[nb_safe], d)
+            ln = np.where(nbs >= 0, ln, np.inf)
+            nb_best = np.argmin(ln, axis=1)
+            nb_ll = ln[np.arange(len(fi)), nb_best]
+            switch = nb_ll < ll
+            chosen = np.where(switch, nbs[np.arange(len(fi)), nb_best], g)
+
+            if switch.any():
+                si = np.where(switch)[0]
+                x2, c2, ok2 = run_opt(
+                    chosen[si],
+                    pts0[fi][si],
+                    obs_uvr[fi][si],
+                    sigma2_inv[fi][si],
+                    str_info[fi][si],
+                )
+                # failed re-opts fall back to the original comp/solution
+                for j, sj in enumerate(si):
+                    if ok2[j]:
+                        best_pt[fi[sj]] = x2[j]
+                    else:
+                        chosen[sj] = g[sj]
+
+            ll_final = self._chi2_np(chosen, best_pt[fi])
+            accept = ll_final <= cfg.chi2_assoc_3d
+            assoc[fi[accept]] = chosen[accept]
+            pt_out[fi[accept]] = best_pt[fi[accept]]
+
+        # 3D KD-tree fallback for features whose candidates all failed
+        # (gmmloc_opt.cpp:237-254): accepts the refined position but keeps
+        # assoc = -1 (the reference returns nullptr there too).
+        miss = np.where(~found)[0]
+        if len(miss):
+            nearest = np.asarray(
+                render_mod.query_point_3d(
+                    self.gmap,
+                    jnp.array(pts0[miss], jnp.float32),
+                    jnp.ones(len(miss), bool),
+                )
+            )
+            deg_ok = self._deg[np.maximum(nearest, 0)] & (nearest >= 0)
+            di = miss[deg_ok]
+            if len(di):
+                x3, c3, ok3 = run_opt(
+                    nearest[deg_ok],
+                    pts0[di],
+                    obs_uvr[di],
+                    sigma2_inv[di],
+                    str_info[di],
+                )
+                upd = np.where(ok3)[0]
+                pt_out[di[upd]] = x3[upd]
+
+        return assoc, pt_out
+
+    # ------------------------------------------------------------------
+
+    def create_map_points_from_stereo(
+        self, world: ms.MapState, frame, kf: int, check_depth: bool = True
+    ) -> int:
+        """Ref: createMapPointsFromStereo (gmmloc_opt.cpp:36-113).
+
+        Depth-sorted stereo features; features with GMM candidates must pass
+        association (else no point); near-depth quota 100.
+        """
+        cfg = self.cfg
+        th_depth = world.pyr["th_depth"]
+        depth = frame.depth.copy()
+        depth[~frame.valid] = -1
+        order = np.argsort(np.where(depth > 0, depth, np.inf), kind="stable")
+        order = order[depth[order] > 0]
+        if len(order) == 0:
+            return 0
+
+        # candidate set: features needing a new point
+        need = []
+        for i in order:
+            p = frame.mappoint[i]
+            if p < 0 or world.pt_n_obs[p] < 1:
+                if p >= 0:
+                    frame.mappoint[i] = -1
+                need.append(i)
+
+        # apply the depth/quota cutoff over the sorted order (:108-111)
+        num_points = 0
+        kept = []
+        need_set = set(need)
+        for i in order:
+            num_points += 1
+            if i in need_set:
+                kept.append(i)
+            if check_depth and depth[i] > th_depth and num_points > 100:
+                break
+        if not kept:
+            return 0
+        kept = np.array(kept)
+
+        # unproject all kept features
+        q_wc, t_wc = ms._inverse(world.kf_q[kf], world.kf_t[kf])
+        R_wc = ms._quat_to_mat(q_wc)
+        uv = world.kf_feat_uv[kf][kept]
+        zs = depth[kept]
+        pc = np.stack(
+            [
+                (uv[:, 0] - self.cam.cx) / self.cam.fx * zs,
+                (uv[:, 1] - self.cam.cy) / self.cam.fy * zs,
+                zs,
+            ],
+            -1,
+        )
+        pw = pc @ R_wc.T + t_wc
+
+        has_cand = (world.kf_comp_cand[kf][kept] >= 0).any(axis=1)
+        assoc = np.full(len(kept), -1, np.int32)
+        pts = pw.copy()
+        ci = np.where(has_cand)[0]
+        if len(ci):
+            a, p_new = self.check_map_association_batch(world, kf, kept[ci], pw[ci])
+            assoc[ci] = a
+            pts[ci] = p_new
+
+        created = 0
+        for j, i in enumerate(kept):
+            if has_cand[j] and assoc[j] < 0:
+                continue  # gated out (gmmloc_opt.cpp:79-81)
+            pid = world.alloc_point(pts[j], ref_kf=kf, created_kf_idx=world.kf_frame_idx[kf])
+            if assoc[j] >= 0:
+                world.pt_assoc_comp[pid] = assoc[j]
+                world.pt_type[pid] = ms.PT_FROM_DEPTH_GMM
+            else:
+                world.pt_type[pid] = ms.PT_FROM_DEPTH
+            world.add_observation(pid, kf, int(i))
+            world.compute_distinctive_descriptor(pid)
+            world.update_normal_and_depth(pid)
+            frame.mappoint[i] = pid
+            created += 1
+        return created

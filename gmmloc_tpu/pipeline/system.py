@@ -1,0 +1,204 @@
+"""System orchestrator: the full tracking + mapping loop.
+
+TPU-native replacement for GMMLoc (ref:
+/root/reference/gmmloc/src/gmmloc.cpp, gmmloc_opt.cpp). Wires the GMM
+map, tracker, associator and back-end; runs the per-frame loop
+(spin, gmmloc.cpp:123-197) with the keyframe policy
+(needNewKeyFrame:324-364) and the frame-relative trajectory records.
+
+Offline mode (the benchmark configuration, evaluate_euroc.sh protocol):
+the back-end runs synchronously after each keyframe insertion.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..geometry import camera as cam_mod
+from ..gmm import mixture
+from ..mapping import map_state as ms
+from ..mapping.association import GMMAssociator
+from ..mapping.localization import Localization
+from ..tracking.frame import Frame
+from ..tracking.tracker import Tracker, TrackStat
+
+
+class GMMLocSystem:
+    def __init__(self, cfg: SystemConfig, gmap: mixture.GMMMap):
+        self.cfg = cfg
+        self.cam = cam_mod.CameraParams.from_config(cfg.camera)
+        self.gmap = gmap
+        self.world = ms.MapState(cfg)
+        self.assoc = GMMAssociator(cfg, self.cam, gmap)
+        self.tracker = Tracker(cfg, self.cam, self.world)
+        self.localizer = Localization(cfg, self.cam, self.world, self.assoc)
+        self.initialized = False
+        self.curr_frame: Optional[Frame] = None
+        self.last_frame: Optional[Frame] = None
+        self.curr_keyframe: int = -1
+        self.n_tracked = 0
+        self.track_failed = False
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_gmm_file(cls, cfg: SystemConfig, path: str) -> "GMMLocSystem":
+        gmap = mixture.load(
+            path,
+            pad_to=cfg.caps.gmm_components_pad,
+            neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+            neighbor_cap=cfg.gmm.neighbor_cap,
+            degenerate_eig_thresh=cfg.gmm.degenerate_eig_thresh,
+            salient_eig_thresh=cfg.gmm.salient_eig_thresh,
+        )
+        return cls(cfg, gmap)
+
+    # ------------------------------------------------------------------
+
+    def init_pose_guess(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> None:
+        """Pose initialization (gmmloc.cpp:269-292): frame 0 from GT,
+        frame 1 copies, else constant velocity; previous frame re-anchored
+        to its (possibly BA-refined) reference keyframe."""
+        if self.curr_frame is not None and self.curr_frame.ref_kf >= 0:
+            # re-anchor prev frame: T_cw = T_cr * T_rw (gmmloc.cpp:272-275)
+            info = self.world.frame_infos[-1] if self.world.frame_infos else None
+            if info is not None:
+                ref = info.ref_kf
+                q_rc, t_rc = info.q_cr, info.t_cr
+                q_cr, t_cr = ms._inverse(q_rc, t_rc)
+                q, t = ms._compose(q_cr, t_cr, self.world.kf_q[ref], self.world.kf_t[ref])
+                self.curr_frame.set_pose(q, t)
+
+        if frame.idx == 0 or not self.initialized:
+            q_cw = gt_q_wc * np.array([1.0, -1, -1, -1])
+            t_cw = -ms._quat_to_mat(q_cw) @ gt_t_wc
+            frame.set_pose(q_cw, t_cw)
+        elif self.last_frame is None or frame.idx == 1:
+            frame.set_pose(self.curr_frame.q_cw, self.curr_frame.t_cw)
+        else:
+            # delta = T_curr * T_last^-1 ; init = delta * T_curr
+            ql_wc, tl_wc = ms._inverse(self.last_frame.q_cw, self.last_frame.t_cw)
+            dq, dt = ms._compose(self.curr_frame.q_cw, self.curr_frame.t_cw, ql_wc, tl_wc)
+            q, t = ms._compose(dq, dt, self.curr_frame.q_cw, self.curr_frame.t_cw)
+            frame.set_pose(q, t)
+
+        self.last_frame = self.curr_frame
+        self.curr_frame = frame
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, frame: Frame, is_first: bool = False) -> int:
+        """Ref: processKeyFrame (gmmloc_opt.cpp:19-34)."""
+        frame.is_keyframe = True
+        kf = self.world.alloc_keyframe(frame)
+        frame.ref_kf = kf
+        # bind tracked landmarks as observations-to-be (consumed by
+        # Localization::processNewKeyFrame)
+        for i in np.where(frame.mappoint >= 0)[0]:
+            p = frame.mappoint[i]
+            if self.world.pt_valid[p]:
+                self.world.kf_obs_point[kf, i] = p
+        self.assoc.associate_keyframe(self.world, kf)
+        self.assoc.create_map_points_from_stereo(
+            self.world, frame, kf, check_depth=not is_first
+        )
+        return kf
+
+    def need_new_keyframe(self, stat: TrackStat) -> bool:
+        """Ref: needNewKeyFrame (gmmloc.cpp:324-364)."""
+        w = self.world
+        cfg = self.cfg.tracking
+        num_kfs = w.n_keyframes()
+        th_ref_ratio = cfg.kf_ref_ratio_few if num_kfs < 2 else cfg.kf_ref_ratio
+        th_map_ratio = (
+            cfg.kf_map_ratio_many if stat.num_match_inliers > 300 else cfg.kf_map_ratio
+        )
+        num_obs = 2 if num_kfs <= 2 else 3
+        ref_kf = self.tracker.ref_keyframe
+        # count ref-KF points with >= num_obs weighted observations
+        obs = w.kf_obs_point[ref_kf]
+        pts = obs[obs >= 0]
+        num_ref = int((w.pt_n_obs[pts] >= num_obs).sum()) if len(pts) else 0
+
+        c1a = (
+            self.curr_frame.idx
+            >= w.kf_frame_idx[self.curr_keyframe] + self.cfg.camera.fps
+        )
+        c1b = (
+            stat.num_match_inliers < num_ref * 0.25
+            or stat.ratio_map < 0.3
+        )
+        c2 = (
+            stat.num_match_inliers < num_ref * th_ref_ratio
+            or stat.ratio_map < th_map_ratio
+        ) and stat.num_match_inliers > cfg.kf_min_inliers
+
+        if (c1a or c1b or self.localizer.is_idle) and c2:
+            if self.localizer.is_idle:
+                return True
+            self.localizer.abort_ba = True
+            return self.localizer.count_queue() < cfg.kf_queue_cap
+        return False
+
+    # ------------------------------------------------------------------
+
+    def step(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> TrackStat:
+        """One iteration of the main loop (gmmloc.cpp:128-195)."""
+        self.init_pose_guess(frame, gt_q_wc, gt_t_wc)
+
+        if not self.initialized:
+            kf = self.process_keyframe(frame, is_first=True)
+            self.localizer.insert_keyframe(kf)
+            if not self.cfg.online:
+                self.localizer.spin_once()
+            frame.ref_kf = kf
+            self.curr_keyframe = kf
+            self.tracker.initialize(frame)
+            self.initialized = True
+            stat = TrackStat(res=True, num_match_inliers=0, ratio_map=1.0)
+        else:
+            stat = self.tracker.track(frame)
+            if not stat.res:
+                self.track_failed = True
+                return stat
+            if self.need_new_keyframe(stat):
+                kf = self.process_keyframe(frame)
+                self.curr_keyframe = kf
+                self.localizer.insert_keyframe(kf)
+                if not self.cfg.online:
+                    self.localizer.spin_once()
+            self.n_tracked += 1
+
+        if frame.ref_kf < 0:
+            frame.ref_kf = self.tracker.ref_keyframe
+        self.world.update_frame_info(frame)
+        return stat
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        frames: Iterable,
+        gt_q_wc=None,
+        gt_t_wc=None,
+        on_frame: Optional[Callable] = None,
+    ):
+        """Offline batch run. `frames` yields Frame objects; optional GT
+        arrays provide the frame-0 pose anchor."""
+        for i, frame in enumerate(frames):
+            g_q = gt_q_wc[i] if gt_q_wc is not None else None
+            g_t = gt_t_wc[i] if gt_t_wc is not None else None
+            stat = self.step(frame, g_q, g_t)
+            if not stat.res:
+                break
+            if on_frame is not None:
+                on_frame(i, frame, stat)
+        return self.world
+
+    def export_trajectory(self, path: Optional[str] = None):
+        if path is not None:
+            self.world.save_trajectory_tum(path)
+        return self.world.export_trajectory()

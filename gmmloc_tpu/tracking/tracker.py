@@ -1,0 +1,438 @@
+"""Per-frame tracking front-end.
+
+TPU-native replacement for Tracking (ref:
+/root/reference/gmmloc/src/modules/tracking.cpp, tracking_opt.cpp).
+Pipeline per frame (tracking.cpp track:35-116):
+
+  updateLastFrame -> createTemporalPoints -> trackWithMotionModel
+  (guided projection search + staged pose-only solve) -> [fallback
+  trackKeyFrame] -> updateLocalMap -> searchLocalPoints -> trackLocalMap
+  (second pose solve) -> stats.
+
+Host numpy orchestrates bookkeeping; the two hot stages per frame — the
+guided matching (dense masked N x M Hamming pass) and the staged
+pose-only GN — are jitted device kernels (features/matching.py,
+solver/pose_solver.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..features import matching
+from ..geometry import camera as cam_mod
+from ..mapping.map_state import MapState, _inverse, _quat_to_mat
+from ..solver import pose_solver
+from .frame import Frame
+
+
+@dataclass
+class TrackStat:
+    """Ref: tracking.h:16-21."""
+
+    res: bool = False
+    num_match_inliers: int = 0
+    ratio_map: float = 0.0
+
+
+class Tracker:
+    def __init__(self, cfg: SystemConfig, cam: cam_mod.CameraParams, world: MapState):
+        self.cfg = cfg
+        self.cam = cam
+        self.world = world
+        self.last_frame: Optional[Frame] = None
+        self.ref_keyframe: int = -1
+        self.local_keyframes: List[int] = []
+        self.local_points: np.ndarray = np.zeros(0, np.int64)
+        self.temp_points: List[int] = []
+        self.stat = TrackStat()
+        pyr = world.pyr
+        self.scale_factors = pyr["scale_factors"]
+        self.sigma2_inv = pyr["sigma2_inv"]
+        self.th_depth = pyr["th_depth"]
+        self.log_sf = pyr["log_scale_factor"]
+        self.num_levels = cfg.frame.num_levels
+
+    # ------------------------------------------------------------------
+
+    def initialize(self, frame: Frame) -> None:
+        self.last_frame = frame
+        self.ref_keyframe = frame.ref_kf
+        self.local_keyframes = [frame.ref_kf]
+
+    def track(self, frame: Frame) -> TrackStat:
+        w = self.world
+        self._update_last_frame()
+        if not self.last_frame.is_keyframe:
+            self._create_temporal_points()
+
+        self.stat = TrackStat(res=True)
+        n = self._track_with_motion_model(frame)
+        if n < self.cfg.tracking.min_matches_track:
+            n = self._track_keyframe(frame)
+            if n < self.cfg.tracking.min_matches_track:
+                self.stat.res = False
+                self.stat.num_match_inliers = 10
+                self._cleanup(frame)
+                return self.stat
+
+        frame.ref_kf = self.ref_keyframe
+        self._update_local_map(frame)
+        self._search_local_points(frame)
+        self.stat.num_match_inliers = self._track_local_map(frame)
+
+        # map-coverage ratio over near-depth features (tracking.cpp:86-103)
+        near = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
+        num_total = int(near.sum())
+        has_pt = frame.mappoint >= 0
+        num_map = 0
+        for i in np.where(near & has_pt)[0]:
+            if w.pt_n_obs[frame.mappoint[i]] > 0:
+                num_map += 1
+        self.stat.ratio_map = num_map / max(1, num_total)
+
+        self._cleanup(frame)
+        self.last_frame = frame
+        return self.stat
+
+    # ------------------------------------------------------------------
+
+    def _update_last_frame(self) -> None:
+        """Swap replaced mappoints (tracking.cpp:397-408)."""
+        f = self.last_frame
+        for i in np.where(f.mappoint >= 0)[0]:
+            p = self.world.resolve_replaced(f.mappoint[i])
+            if p != f.mappoint[i]:
+                f.mappoint[i] = p
+            if p >= 0 and not self.world.pt_valid[p]:
+                f.mappoint[i] = -1
+
+    def _create_temporal_points(self) -> None:
+        """Short-lived stereo landmarks from the last frame
+        (tracking.cpp:411-470): nearest-depth first, up to 100 near points."""
+        f = self.last_frame
+        w = self.world
+        zs = f.depth.copy()
+        zs[~f.valid] = -1
+        order = np.argsort(np.where(zs > 0, zs, np.inf))
+        num = 0
+        q_wc, t_wc = _inverse(f.q_cw, f.t_cw)
+        R_wc = _quat_to_mat(q_wc)
+        for i in order:
+            if zs[i] <= 0 or not np.isfinite(zs[i]):
+                break
+            p = f.mappoint[i]
+            create = p < 0 or w.pt_n_obs[p] < 1
+            if create:
+                uv = f.uv[i]
+                pc = np.array(
+                    [
+                        (uv[0] - self.cam.cx) / self.cam.fx * zs[i],
+                        (uv[1] - self.cam.cy) / self.cam.fy * zs[i],
+                        zs[i],
+                    ]
+                )
+                pw = R_wc @ pc + t_wc
+                pid = w.alloc_point(pw, ref_kf=-1, created_kf_idx=-1)
+                f.mappoint[i] = pid
+                self.temp_points.append(pid)
+            num += 1
+            if zs[i] > self.th_depth and num > self.cfg.tracking.temporal_points_cap:
+                break
+
+    # ------------------------------------------------------------------
+
+    def _project_points(self, frame: Frame, pts_pos):
+        """Project world points with the frame's current pose guess."""
+        R = _quat_to_mat(frame.q_cw)
+        pc = pts_pos @ R.T + frame.t_cw
+        z = pc[:, 2]
+        z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        u = self.cam.fx * pc[:, 0] / z_safe + self.cam.cx
+        v = self.cam.fy * pc[:, 1] / z_safe + self.cam.cy
+        ur = u - self.cam.bf / z_safe
+        inside = (
+            (z > 0) & (u >= 0) & (v >= 0) & (u < self.cam.width) & (v < self.cam.height)
+        )
+        return np.stack([u, v], -1), ur, z, inside
+
+    def _run_pose_opt(self, frame: Frame) -> int:
+        w = self.world
+        has_pt = frame.mappoint >= 0
+        idx = np.where(has_pt)[0]
+        x_w = np.zeros((frame.feat_cap, 3), np.float32)
+        if len(idx):
+            x_w[idx] = w.pt_pos[frame.mappoint[idx]]
+        obs_uvr = np.concatenate([frame.uv, frame.ur[:, None]], -1)
+        res = pose_solver.optimize_pose(
+            self.cam,
+            jnp.array(frame.q_cw, jnp.float32),
+            jnp.array(frame.t_cw, jnp.float32),
+            jnp.array(x_w),
+            jnp.array(obs_uvr, jnp.float32),
+            jnp.array(frame.ur >= 0),
+            jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
+            jnp.array(has_pt & frame.valid),
+            rounds=self.cfg.loc.pose_opt_rounds,
+            iters=self.cfg.loc.pose_opt_iters,
+        )
+        frame.set_pose(np.asarray(res.q, np.float64), np.asarray(res.t, np.float64))
+        frame.is_outlier = np.array(res.is_outlier)
+        return int(res.num_inliers)
+
+    def _discard_outliers(self, frame: Frame) -> int:
+        """Post-solve outlier stripping (tracking.cpp:355-377).
+        Returns matches that belong to the persistent map."""
+        w = self.world
+        num_map = 0
+        for i in np.where((frame.mappoint >= 0) & frame.valid)[0]:
+            p = frame.mappoint[i]
+            if frame.is_outlier[i]:
+                frame.mappoint[i] = -1
+                frame.is_outlier[i] = False
+                w.pt_last_visible_idx[p] = frame.idx
+            elif w.pt_n_obs[p] > 0:
+                num_map += 1
+        return num_map
+
+    def _track_with_motion_model(self, frame: Frame) -> int:
+        """tracking.cpp:334-393."""
+        last = self.last_frame
+        w = self.world
+        th = self.cfg.tracking.motion_search_radius
+
+        n = self._search_frame_to_frame(frame, th)
+        if n < self.cfg.tracking.min_matches_motion:
+            frame.mappoint[:] = -1
+            n = self._search_frame_to_frame(frame, 2 * th)
+        if n < self.cfg.tracking.min_matches_motion:
+            return 0
+        self._run_pose_opt(frame)
+        return self._discard_outliers(frame)
+
+    def _search_frame_to_frame(self, frame: Frame, th: float) -> int:
+        """Guided search from last-frame landmarks (orb_matcher.cpp:410-542)."""
+        last = self.last_frame
+        w = self.world
+        q_has = (last.mappoint >= 0) & last.valid & ~last.is_outlier
+        pts = np.zeros((last.feat_cap, 3))
+        ids = last.mappoint.copy()
+        sel = np.where(q_has)[0]
+        if len(sel) == 0:
+            return 0
+        pts[sel] = w.pt_pos[ids[sel]]
+        uv, ur, z, inside = self._project_points(frame, pts)
+        q_valid = q_has & inside
+
+        octave = last.octave
+        radius = th * self.scale_factors[octave]
+        match, dist = matching.search_by_projection(
+            jnp.array(uv, jnp.float32),
+            jnp.array(np.where(last.ur >= 0, ur, -1.0), jnp.float32),
+            jnp.array(last.desc),
+            jnp.array(octave),
+            jnp.array(last.angle),
+            jnp.array(q_valid),
+            jnp.array(radius, jnp.float32),
+            jnp.array(octave - 1),
+            jnp.array(octave + 1),
+            jnp.array(frame.uv, jnp.float32),
+            jnp.array(frame.ur, jnp.float32),
+            jnp.array(frame.desc),
+            jnp.array(frame.octave),
+            jnp.array(frame.angle),
+            jnp.array(frame.valid),
+            jnp.array(frame.mappoint >= 0),
+            desc_thresh=matching.TH_HIGH,
+            nn_ratio=1.0,
+            use_rotation=True,
+        )
+        match = np.asarray(match)
+        n = 0
+        for qi in np.where(match >= 0)[0]:
+            frame.mappoint[match[qi]] = ids[qi]
+            n += 1
+        return n
+
+    def _track_keyframe(self, frame: Frame) -> int:
+        """BoW-free re-track against the reference KF (tracking.cpp:297-332;
+        searchByBoW replaced by mutual-best Hamming matching)."""
+        w = self.world
+        kf = self.ref_keyframe
+        frame.mappoint[:] = -1
+        match, _ = matching.mutual_best_match(
+            jnp.array(frame.desc),
+            jnp.array(frame.valid),
+            jnp.array(w.kf_feat_desc[kf]),
+            jnp.array(w.kf_feat_valid[kf] & (w.kf_obs_point[kf] >= 0)),
+            max_dist=matching.TH_LOW,
+        )
+        match = np.asarray(match)
+        n = 0
+        for i in np.where(match >= 0)[0]:
+            p = w.kf_obs_point[kf, match[i]]
+            if p >= 0 and w.pt_valid[p]:
+                frame.mappoint[i] = p
+                n += 1
+        if n < 15:
+            return 0
+        frame.set_pose(self.last_frame.q_cw, self.last_frame.t_cw)
+        self._run_pose_opt(frame)
+        return self._discard_outliers(frame)
+
+    # ------------------------------------------------------------------
+
+    def _update_local_map(self, frame: Frame) -> None:
+        """tracking.cpp:119-207."""
+        w = self.world
+        counts = {}
+        for i in np.where(frame.mappoint >= 0)[0]:
+            p = frame.mappoint[i]
+            if not w.pt_valid[p]:
+                frame.mappoint[i] = -1
+                continue
+            kfs = w.pt_obs_kf[p]
+            for kf in kfs[kfs >= 0]:
+                counts[kf] = counts.get(kf, 0) + 1
+        if not counts:
+            return
+        kf_max = max(counts, key=counts.get)
+        local = set(counts.keys())
+        for kf in list(local):
+            if len(local) > self.cfg.tracking.local_kf_cap:
+                break
+            for nkf in w.best_covisible(kf, 10):
+                if w.kf_valid[nkf] and nkf in local:
+                    local.add(nkf)
+                    break
+        self.ref_keyframe = int(kf_max)
+        frame.ref_kf = self.ref_keyframe
+        self.local_keyframes = [k for k in local if w.kf_valid[k]]
+
+        pts = set()
+        for kf in self.local_keyframes:
+            obs = w.kf_obs_point[kf]
+            pts.update(obs[obs >= 0].tolist())
+        self.local_points = np.array(
+            [p for p in pts if w.pt_valid[p]], dtype=np.int64
+        )
+
+    def _check_scale_and_visible(self, frame: Frame, pids):
+        """Batched mappoint.cpp:257-299 gates. Returns (ok, pred_level)."""
+        w = self.world
+        q_wc, t_wc = _inverse(frame.q_cw, frame.t_cw)
+        pos = w.pt_pos[pids]
+        v = pos - t_wc
+        dist = np.linalg.norm(v, axis=-1)
+        mx = 1.2 * w.pt_max_dist[pids]
+        mn = 0.8 * w.pt_min_dist[pids]
+        ok = (dist >= mn) & (dist <= mx) & (dist > 1e-9)
+        view_cos = np.einsum("ni,ni->n", v, w.pt_normal[pids]) / np.clip(dist, 1e-9, None)
+        ok &= view_cos >= 0.5
+        ratio = w.pt_max_dist[pids] / np.clip(dist, 1e-9, None)
+        lvl = np.ceil(np.log(np.clip(ratio, 1e-9, None)) / self.log_sf).astype(np.int32)
+        lvl = np.clip(lvl, 0, self.num_levels - 1)
+        return ok, lvl
+
+    def _search_local_points(self, frame: Frame) -> None:
+        """tracking.cpp:210-267."""
+        w = self.world
+        # bump visibility of points already matched in this frame
+        for i in np.where(frame.mappoint >= 0)[0]:
+            p = frame.mappoint[i]
+            if not w.pt_valid[p]:
+                frame.mappoint[i] = -1
+            else:
+                w.pt_num_visible[p] += 1
+                w.pt_last_visible_idx[p] = frame.idx
+
+        if len(self.local_points) == 0:
+            return
+        cand = self.local_points[
+            w.pt_last_visible_idx[self.local_points] != frame.idx
+        ]
+        if len(cand) == 0:
+            return
+        uv, ur, z, inside = self._project_points(frame, w.pt_pos[cand])
+        ok, lvl = self._check_scale_and_visible(frame, cand)
+        ok &= inside
+        cand = cand[ok]
+        if len(cand) == 0:
+            return
+        uv, ur, lvl = uv[ok], ur[ok], lvl[ok]
+        w.pt_num_visible[cand] += 1
+
+        th = 5.0 if frame.idx < 2 else self.cfg.tracking.local_search_radius
+        radius = th * self.scale_factors[lvl]
+        # pad to static capacity for the jit kernel
+        N = self.cfg.frame.feat_cap
+        if len(cand) > N:
+            cand, uv, ur, lvl, radius = (
+                cand[:N], uv[:N], ur[:N], lvl[:N], radius[:N]
+            )
+        pad = N - len(cand)
+
+        def padded(a, fill, dtype):
+            out = np.full((N,) + np.asarray(a).shape[1:], fill, dtype)
+            out[: len(cand)] = a
+            return out
+
+        match, _ = matching.search_by_projection(
+            jnp.array(padded(uv, 0.0, np.float32)),
+            jnp.array(padded(ur, -1.0, np.float32)),
+            jnp.array(padded(w.pt_desc[cand], 0, np.uint8)),
+            jnp.array(padded(lvl, 0, np.int32)),
+            jnp.zeros(N, jnp.float32),
+            jnp.array(padded(np.ones(len(cand), bool), False, bool)),
+            jnp.array(padded(radius, 1.0, np.float32)),
+            jnp.array(padded(lvl - 1, 0, np.int32)),
+            jnp.array(padded(lvl, 0, np.int32)),
+            jnp.array(frame.uv, jnp.float32),
+            jnp.array(frame.ur, jnp.float32),
+            jnp.array(frame.desc),
+            jnp.array(frame.octave),
+            jnp.array(frame.angle),
+            jnp.array(frame.valid),
+            jnp.array(frame.mappoint >= 0),
+            desc_thresh=matching.TH_HIGH,
+            nn_ratio=self.cfg.loc.match_nn_ratio_local,
+            use_rotation=False,
+        )
+        match = np.asarray(match)
+        for qi in np.where(match >= 0)[0]:
+            frame.mappoint[match[qi]] = cand[qi]
+
+    def _track_local_map(self, frame: Frame) -> int:
+        """tracking.cpp:269-294."""
+        w = self.world
+        self._run_pose_opt(frame)
+        num_inliers = 0
+        for i in np.where((frame.mappoint >= 0) & frame.valid)[0]:
+            p = frame.mappoint[i]
+            if not frame.is_outlier[i]:
+                w.pt_num_found[p] += 1
+                if w.pt_n_obs[p] > 0:
+                    num_inliers += 1
+            else:
+                frame.mappoint[i] = -1
+        return num_inliers
+
+    # ------------------------------------------------------------------
+
+    def _cleanup(self, frame: Frame) -> None:
+        """clearTemporalPoints (tracking.cpp:379-395)."""
+        w = self.world
+        for i in np.where(frame.mappoint >= 0)[0]:
+            p = frame.mappoint[i]
+            if w.pt_n_obs[p] < 1:
+                frame.is_outlier[i] = False
+                frame.mappoint[i] = -1
+        for p in self.temp_points:
+            if w.pt_valid[p] and w.pt_n_obs[p] < 1:
+                w.remove_point(p)
+        self.temp_points.clear()
