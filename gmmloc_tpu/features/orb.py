@@ -1,0 +1,101 @@
+"""Oriented BRIEF descriptors: IC-angle + steered binary tests.
+
+TPU-native replacement for the descriptor half of ORBextractor
+(ref: /root/reference/gmmloc/src/cv/orb_extractor.cpp: IC_Angle:77-101,
+computeOrbDescriptor:104-146). Differences by design:
+
+  - the 256 binary test pairs are generated procedurally (seeded isotropic
+    Gaussian sampling, sigma = patch/5, the original BRIEF recipe) instead
+    of the hand-tuned bit_pattern_31 table. Descriptors are therefore NOT
+    bit-compatible with OpenCV ORB — irrelevant here, since matching is
+    always ours-vs-ours and no pretrained vocabulary asset exists
+    (SURVEY.md §7 hard part 7).
+  - patch reads are batched gathers over (keypoint, test) index grids, not
+    per-keypoint pointer walks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_R = 15          # IC-angle circular patch radius (HALF_PATCH_SIZE)
+N_TESTS = 256
+PATTERN_SEED = 20200829  # fixed: descriptors must be stable across runs
+
+
+def _make_pattern():
+    """256 (p1, p2) test pairs, clipped to the 31x31 patch."""
+    rng = np.random.default_rng(PATTERN_SEED)
+    sigma = 31 / 5.0
+    pts = rng.normal(0.0, sigma, size=(N_TESTS, 2, 2))
+    return np.clip(pts, -PATCH_R, PATCH_R).astype(np.float32)
+
+
+PATTERN = _make_pattern()
+
+# circular u_max table for IC-angle (same recipe as orb_extractor.cpp:408-441)
+_UMAX = np.zeros(PATCH_R + 1, np.int32)
+for _v in range(PATCH_R + 1):
+    _UMAX[_v] = int(np.round(np.sqrt(PATCH_R**2 - _v**2)))
+
+
+def _circle_mask():
+    ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
+    return (np.abs(xs) <= _UMAX[np.abs(ys)]).astype(np.float32)
+
+
+CIRCLE = _circle_mask()
+
+
+@jax.jit
+def gather_patches(img, uv):
+    """Extract 31x31 patches at integer keypoint locations (N, 31, 31)."""
+    h, w = img.shape
+    ys = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_R, h - PATCH_R - 1)
+    xs = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_R, w - PATCH_R - 1)
+    dy = jnp.arange(-PATCH_R, PATCH_R + 1)
+    dx = jnp.arange(-PATCH_R, PATCH_R + 1)
+    yy = ys[:, None, None] + dy[None, :, None]
+    xx = xs[:, None, None] + dx[None, None, :]
+    return img[yy, xx]
+
+
+@jax.jit
+def ic_angle(img, uv):
+    """Intensity-centroid orientation in degrees (IC_Angle, :77-101)."""
+    patches = gather_patches(img, uv)              # (N,31,31)
+    mask = jnp.asarray(CIRCLE)
+    ys = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[None, :]
+    m01 = jnp.sum(patches * mask * ys, axis=(1, 2))
+    m10 = jnp.sum(patches * mask * xs, axis=(1, 2))
+    return jnp.degrees(jnp.arctan2(m01, m10)) % 360.0
+
+
+@jax.jit
+def brief_descriptors(img_blur, uv, angle_deg):
+    """Steered BRIEF-256 -> (N, 32) uint8.
+
+    Test points are rotated by the keypoint angle then read with nearest
+    sampling from the blurred level image (computeOrbDescriptor:104-146).
+    """
+    h, w = img_blur.shape
+    a = jnp.radians(angle_deg)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    pat = jnp.asarray(PATTERN)                     # (256,2,2) xy pairs
+
+    # rotate: x' = x cos - y sin ; y' = x sin + y cos
+    px = pat[None, :, :, 0] * ca[:, None, None] - pat[None, :, :, 1] * sa[:, None, None]
+    py = pat[None, :, :, 0] * sa[:, None, None] + pat[None, :, :, 1] * ca[:, None, None]
+    xs = jnp.clip(jnp.round(uv[:, None, None, 0] + px).astype(jnp.int32), 0, w - 1)
+    ys = jnp.clip(jnp.round(uv[:, None, None, 1] + py).astype(jnp.int32), 0, h - 1)
+    vals = img_blur[ys, xs]                        # (N,256,2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint8)  # (N,256)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
+    ).astype(jnp.uint8)

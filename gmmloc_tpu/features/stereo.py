@@ -1,0 +1,168 @@
+"""Stereo correspondence: batched row-banded Hamming match + SAD refine.
+
+TPU-native replacement for Frame::computeStereoMatches
+(ref: /root/reference/gmmloc/src/types/frame.cpp:179-349). The per-left-
+keypoint row-candidate scan becomes one dense masked (NL, NR) pass; the
+11-step SAD subpixel refinement becomes a batched gather of 11x11 windows
+at 11 shifts with a parabola fit; the median-based outlier cut
+(:337-348) stays as a final masked filter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import matching
+
+TH_HIGH = matching.TH_HIGH
+TH_LOW = matching.TH_LOW
+
+
+class StereoMatches(NamedTuple):
+    u_right: jax.Array  # (NL,) refined right-u, -1 if unmatched
+    depth: jax.Array    # (NL,) bf/disparity, -1 if unmatched
+
+
+@functools.partial(jax.jit, static_argnames=("bf", "min_z"))
+def match_stereo(
+    uv_l, octave_l, desc_l, valid_l,
+    uv_r, octave_r, desc_r, valid_r,
+    scale_factors,            # (L,)
+    bf: float,
+    min_z: float,
+):
+    """Descriptor stage (frame.cpp:193-277): returns best right index per
+    left keypoint (-1 if fails) + the descriptor distance."""
+    max_d = bf / min_z
+
+    # row band: |vL - vR| <= 2 * sf[octave_r] (:196-206)
+    band = 2.0 * scale_factors[octave_r]
+    row_ok = jnp.abs(uv_l[:, None, 1] - uv_r[None, :, 1]) <= band[None, :]
+    lvl_ok = (octave_r[None, :] >= octave_l[:, None] - 1) & (
+        octave_r[None, :] <= octave_l[:, None] + 1
+    )
+    du = uv_l[:, None, 0] - uv_r[None, :, 0]     # disparity = uL - uR
+    disp_ok = (du >= 0.0) & (du <= max_d)
+    cand = row_ok & lvl_ok & disp_ok & valid_l[:, None] & valid_r[None, :]
+
+    dist = matching.hamming_matrix(desc_l, desc_r)
+    dist = jnp.where(cand, dist, 1 << 20)
+    best = jnp.argmin(dist, axis=1)
+    d0 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    th = (TH_HIGH + TH_LOW) // 2
+    ok = d0 < th
+    return jnp.where(ok, best, -1), d0
+
+
+def _window(img, cy, cx, r):
+    dy = jnp.arange(-r, r + 1)
+    dx = jnp.arange(-r, r + 1)
+    yy = cy[:, None, None] + dy[None, :, None]
+    xx = cx[:, None, None] + dx[None, None, :]
+    h, w = img.shape
+    yy = jnp.clip(yy, 0, h - 1)
+    xx = jnp.clip(xx, 0, w - 1)
+    return img[yy, xx]
+
+
+@functools.partial(jax.jit, static_argnames=("bf", "min_z", "n_levels"))
+def refine_subpixel(
+    pyr_l,          # tuple of left level images
+    pyr_r,          # tuple of right level images
+    uv_l, octave_l,
+    u_r0,           # (NL,) coarse right-u from descriptor stage
+    matched,        # (NL,) bool
+    scale_factors,  # (L,)
+    bf: float,
+    min_z: float,
+    n_levels: int,
+):
+    """SAD subpixel refinement (frame.cpp:279-335): 11x11 windows, +-5
+    shift, center-normalized L1, parabola interpolation."""
+    W, L = 5, 5
+    inv_sf = 1.0 / scale_factors
+    su_l = uv_l[:, 0] * inv_sf[octave_l]
+    sv_l = uv_l[:, 1] * inv_sf[octave_l]
+    su_r = u_r0 * inv_sf[octave_l]
+
+    NL = uv_l.shape[0]
+    best_dist = jnp.full((NL,), jnp.inf)
+    dists = jnp.zeros((NL, 2 * L + 1))
+
+    # per-level windows (static unroll over levels; masked combine)
+    iy = jnp.round(sv_l).astype(jnp.int32)
+    ixl = jnp.round(su_l).astype(jnp.int32)
+    ixr = jnp.round(su_r).astype(jnp.int32)
+
+    for lvl in range(n_levels):
+        sel = octave_l == lvl
+        il = pyr_l[lvl]
+        ir = pyr_r[lvl]
+        wl = _window(il, iy, ixl, W)
+        wl = wl - wl[:, W : W + 1, W : W + 1]
+        for k, inc in enumerate(range(-L, L + 1)):
+            wr = _window(ir, iy, ixr + inc, W)
+            wr = wr - wr[:, W : W + 1, W : W + 1]
+            sad = jnp.sum(jnp.abs(wl - wr), axis=(1, 2))
+            dists = jnp.where(sel[:, None] & (jnp.arange(2 * L + 1) == k)[None, :],
+                              sad[:, None], dists)
+
+    best_k = jnp.argmin(dists, axis=1)
+    interior = (best_k > 0) & (best_k < 2 * L)
+    km = jnp.clip(best_k - 1, 0, 2 * L)
+    kp = jnp.clip(best_k + 1, 0, 2 * L)
+    d1 = jnp.take_along_axis(dists, km[:, None], 1)[:, 0]
+    d2 = jnp.take_along_axis(dists, best_k[:, None], 1)[:, 0]
+    d3 = jnp.take_along_axis(dists, kp[:, None], 1)[:, 0]
+    denom = 2.0 * (d1 + d3 - 2.0 * d2)
+    delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / denom, 2.0)
+    good = matched & interior & (delta >= -1.0) & (delta <= 1.0)
+
+    best_inc = best_k.astype(jnp.float32) - L
+    u_right = scale_factors[octave_l] * (
+        jnp.round(su_r) + best_inc + delta
+    )
+    disparity = uv_l[:, 0] - u_right
+    max_d = bf / min_z
+    in_range = (disparity >= 0.0) & (disparity < max_d)
+    disparity = jnp.where(disparity <= 0.0, 0.01, disparity)
+    u_right = jnp.where(disparity <= 0.01, uv_l[:, 0] - 0.01, u_right)
+    good = good & in_range
+    sad_final = d2
+
+    return u_right, bf / disparity, good, sad_final
+
+
+def compute_stereo_matches(
+    pyr_l, pyr_r,
+    uv_l, octave_l, desc_l, valid_l,
+    uv_r, octave_r, desc_r, valid_r,
+    scale_factors, bf: float, baseline: float, n_levels: int,
+):
+    """Full stereo pipeline incl. the median outlier cut (frame.cpp:337-348).
+    Returns (u_right (NL,), depth (NL,)) with -1 where unmatched."""
+    best, _ = match_stereo(
+        uv_l, octave_l, desc_l, valid_l, uv_r, octave_r, desc_r, valid_r,
+        jnp.asarray(scale_factors), bf=bf, min_z=baseline,
+    )
+    matched = best >= 0
+    u_r0 = jnp.where(matched, uv_r[jnp.clip(best, 0), 0], 0.0)
+    u_right, depth, good, sad = refine_subpixel(
+        tuple(pyr_l), tuple(pyr_r), uv_l, octave_l, u_r0, matched,
+        jnp.asarray(scale_factors), bf=bf, min_z=baseline, n_levels=n_levels,
+    )
+
+    # median SAD outlier cut: drop matches with sad >= 2.1 * median
+    sad_np = np.asarray(jnp.where(good, sad, jnp.nan))
+    med = np.nanmedian(sad_np) if np.isfinite(sad_np).any() else 0.0
+    thr = 1.5 * 1.4 * med
+    good = good & (sad <= thr)
+    return (
+        jnp.where(good, u_right, -1.0),
+        jnp.where(good, depth, -1.0),
+    )

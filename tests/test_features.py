@@ -1,0 +1,114 @@
+"""Image front-end tests: FAST/ORB/stereo on rasterized synthetic scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmmloc_tpu.config import CameraConfig
+from gmmloc_tpu.features import detect, fast, matching, orb, pyramid, stereo
+from gmmloc_tpu.geometry import camera as cam_mod
+
+CAM = cam_mod.CameraParams.from_config(CameraConfig())
+H, W = 480, 752
+
+
+def render_sprites(uv, intensity, size, h=H, w=W, bg=40.0):
+    """Rasterize gaussian blobs; ~checkerboard corners via square sprites."""
+    img = np.full((h, w), bg, np.float32)
+    for (u, v), a, s in zip(uv, intensity, size):
+        iu, iv = int(round(u)), int(round(v))
+        r = int(3 * s)
+        y0, y1 = max(0, iv - r), min(h, iv + r + 1)
+        x0, x1 = max(0, iu - r), min(w, iu + r + 1)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        ys = np.arange(y0, y1)[:, None] - v
+        xs = np.arange(x0, x1)[None, :] - u
+        blob = a * np.exp(-(ys**2 + xs**2) / (2 * s * s))
+        img[y0:y1, x0:x1] += blob
+    return np.clip(img, 0, 255)
+
+
+def scene(rng, n=250, seed_offset=0.0):
+    uv = rng.uniform([30, 30], [W - 30, H - 30], size=(n, 2)) + seed_offset
+    inten = rng.uniform(60, 180, n) * np.sign(rng.standard_normal(n))
+    size = rng.uniform(1.2, 2.5, n)
+    return uv, inten, size
+
+
+def test_fast_detects_blobs(rng):
+    uv, inten, size = scene(rng, 150)
+    img = render_sprites(uv, inten, size)
+    score = fast.nms3x3(fast.fast_score(jnp.array(img)))
+    kp_uv, resp, valid = fast.select_keypoints(score, quota=512)
+    kp = np.asarray(kp_uv)[np.asarray(valid)]
+    assert len(kp) > 100
+    # most detections are near a sprite center
+    d = np.linalg.norm(kp[:, None, :] - uv[None, :, :], axis=-1).min(1)
+    assert np.median(d) < 4.0
+
+
+def test_orb_detector_end_to_end(rng):
+    uv, inten, size = scene(rng, 300)
+    img = render_sprites(uv, inten, size)
+    det = detect.ORBDetector(H, W, num_features=600)
+    out = det(jnp.array(img))
+    valid = np.asarray(out.valid)
+    assert valid.sum() > 200
+    assert np.asarray(out.desc).shape[1] == 32
+    # angles well-defined
+    ang = np.asarray(out.angle)[valid]
+    assert ((ang >= 0) & (ang < 360)).all()
+
+
+def test_descriptor_repeatability(rng):
+    """Same scene shifted by 5px -> matched descriptors, small Hamming."""
+    uv, inten, size = scene(rng, 250)
+    img1 = render_sprites(uv, inten, size)
+    img2 = render_sprites(uv + np.array([5.0, 3.0]), inten, size)
+    det = detect.ORBDetector(H, W, num_features=600)
+    o1, o2 = det(jnp.array(img1)), det(jnp.array(img2))
+    m, d = matching.mutual_best_match(
+        o1.desc, o1.valid, o2.desc, o2.valid, max_dist=matching.TH_LOW
+    )
+    m = np.asarray(m)
+    matched = m >= 0
+    assert matched.sum() > 80
+    # matched pairs displaced by ~(5,3)
+    uv1 = np.asarray(o1.uv)[matched]
+    uv2 = np.asarray(o2.uv)[m[matched]]
+    delta = uv2 - uv1
+    med = np.median(delta, axis=0)
+    np.testing.assert_allclose(med, [5.0, 3.0], atol=1.5)
+
+
+def test_stereo_depth_recovery(rng):
+    """Render left/right views of a fronto-parallel wall; recover depth."""
+    z_true = 6.0
+    n = 220
+    uv_l = rng.uniform([60, 30], [W - 30, H - 30], size=(n, 2))
+    disparity = CAM.bf / z_true
+    uv_r = uv_l - np.array([disparity, 0.0])
+    inten = rng.uniform(80, 170, n) * np.sign(rng.standard_normal(n))
+    size = rng.uniform(1.2, 2.2, n)
+    img_l = render_sprites(uv_l, inten, size)
+    img_r = render_sprites(uv_r, inten, size)
+
+    det = detect.ORBDetector(H, W, num_features=600)
+    ol = det(jnp.array(img_l))
+    orr = det(jnp.array(img_r))
+    shapes = det.shapes
+    pyr_l = pyramid.build_pyramid(jnp.array(img_l), shapes)
+    pyr_r = pyramid.build_pyramid(jnp.array(img_r), shapes)
+    sf = 1.2 ** np.arange(8)
+    ur, depth = stereo.compute_stereo_matches(
+        pyr_l, pyr_r,
+        ol.uv, ol.octave, ol.desc, ol.valid,
+        orr.uv, orr.octave, orr.desc, orr.valid,
+        sf.astype(np.float32), bf=CAM.bf, baseline=CAM.bf / CAM.fx, n_levels=8,
+    )
+    depth = np.asarray(depth)
+    got = depth[depth > 0]
+    assert len(got) > 60
+    med = np.median(got)
+    assert abs(med - z_true) < 0.3, med
