@@ -1,0 +1,169 @@
+"""Benchmark: tracked frames/sec/chip on the production workload shapes.
+
+Prints ONE JSON line:
+  {"metric": "tracked_frames_per_sec_chip", "value": N, "unit": "fps",
+   "vs_baseline": N / 20.0}
+
+The baseline divisor is the reference's 20 Hz camera-rate operating point
+(ref: gmmloc.cpp:124 ros::Rate(20), cfg/v1.yaml fps: 20) — the reference
+repo publishes no faster number (BASELINE.md).
+
+Workload mirrors the reference benchmark scale: 1200-1280 features/frame,
+the real v1.gmm prior map (3299 components), keyframe every ~10 frames
+with renderView + association + staged Schur local BA (offline protocol:
+mapping runs inline, evaluate_euroc.sh).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, warmup=2, iters=20):
+    for _ in range(warmup):
+        r = fn()
+    _block(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    _block(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def _block(r):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(r):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gmmloc_tpu.config import euroc_v1_config
+    from gmmloc_tpu.features import matching
+    from gmmloc_tpu.geometry import camera as cam_mod
+    from gmmloc_tpu.gmm import mixture, render
+    from gmmloc_tpu.solver import local_ba, pose_solver
+
+    cfg = euroc_v1_config()
+    cam = cam_mod.CameraParams.from_config(cfg.camera)
+    rng = np.random.default_rng(0)
+    F = cfg.frame.feat_cap  # 1280
+
+    detail = {}
+
+    # ---- per-frame tracking work ---------------------------------------
+    uv = rng.uniform([40, 40], [cam.width - 40, cam.height - 40], (F, 2))
+    z = rng.uniform(1.0, 12.0, F)
+    x_w = np.stack(
+        [(uv[:, 0] - cam.cx) / cam.fx * z, (uv[:, 1] - cam.cy) / cam.fy * z, z], -1
+    )
+    obs = np.concatenate([uv, (uv[:, 0] - cam.bf / z)[:, None]], -1).astype(np.float32)
+    desc = rng.integers(0, 256, (F, 32), dtype=np.uint8)
+    octv = rng.integers(0, 8, F).astype(np.int32)
+    args_match = (
+        jnp.array(uv, jnp.float32), jnp.array(obs[:, 2]), jnp.array(desc),
+        jnp.array(octv), jnp.zeros(F, jnp.float32), jnp.ones(F, bool),
+        jnp.full(F, 15.0, jnp.float32), jnp.array(octv - 1), jnp.array(octv + 1),
+        jnp.array(uv, jnp.float32), jnp.array(obs[:, 2]), jnp.array(desc),
+        jnp.array(octv), jnp.zeros(F, jnp.float32), jnp.ones(F, bool),
+        jnp.zeros(F, bool),
+    )
+    t_match = timeit(lambda: matching.search_by_projection(*args_match))
+
+    q0 = jnp.array([1.0, 0.001, -0.002, 0.0005])
+    q0 = q0 / jnp.linalg.norm(q0)
+    args_pose = (
+        q0, jnp.array([0.01, -0.02, 0.005]),
+        jnp.array(x_w, jnp.float32), jnp.array(obs), jnp.ones(F, bool),
+        jnp.ones(F, jnp.float32), jnp.ones(F, bool),
+    )
+    t_pose = timeit(lambda: pose_solver.optimize_pose(cam, *args_pose))
+    # per frame: 2x guided match + 2x pose solve (motion model + local map)
+    t_frame = 2 * t_match + 2 * t_pose
+    detail["match_ms"] = t_match * 1e3
+    detail["pose_opt_ms"] = t_pose * 1e3
+
+    # ---- per-keyframe GMM association ----------------------------------
+    gmap = mixture.load(
+        "/root/reference/gmmloc_ros/data/map/v1.gmm", pad_to=3328
+    )
+    qr = jnp.array([1.0, 0, 0, 0], jnp.float32)
+    tr = jnp.zeros(3, jnp.float32)
+    t_render = timeit(lambda: render.render_view(gmap, cam, qr, tr), iters=10)
+    r2d = render.render_view(gmap, cam, qr, tr)
+    feat_uv = jnp.array(uv, jnp.float32)
+    t_assoc = timeit(
+        lambda: render.search_correspondence(r2d, feat_uv, jnp.ones(F, bool)),
+        iters=10,
+    )
+    detail["render_view_ms"] = t_render * 1e3
+    detail["search_corr_ms"] = t_assoc * 1e3
+
+    # ---- per-keyframe local BA (production window shape) ---------------
+    L, C, P, O = 16, 48, 8192, 24576
+    cam_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (C, 1))
+    cam_t = np.zeros((C, 3), np.float32)
+    cam_t[:, 0] = np.arange(C) * 0.05
+    pts = np.stack(
+        [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(3, 9, P)], -1
+    ).astype(np.float32)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_pt = rng.integers(0, P, O).astype(np.int32)
+    pc = pts[obs_pt] + cam_t[obs_cam]
+    uvr = np.stack(
+        [
+            cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+            cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
+            cam.fx * pc[:, 0] / pc[:, 2] + cam.cx - cam.bf / pc[:, 2],
+        ],
+        -1,
+    ).astype(np.float32)
+    prob = local_ba.BAProblem(
+        cam_q=jnp.array(cam_q), cam_t=jnp.array(cam_t),
+        cam_valid=jnp.ones(C, bool),
+        pts=jnp.array(pts), pt_valid=jnp.ones(P, bool),
+        obs_cam=jnp.array(obs_cam), obs_pt=jnp.array(obs_pt),
+        obs_uvr=jnp.array(uvr), obs_stereo=jnp.ones(O, bool),
+        obs_sigma2_inv=jnp.ones(O, jnp.float32), obs_valid=jnp.ones(O, bool),
+        str_type=jnp.full(P, local_ba.STR_DEG, jnp.int32),
+        str_normal=jnp.tile(jnp.array([0.0, 0, 1], jnp.float32), (P, 1)),
+        str_mean=jnp.array(pts),
+        str_sqrt_info=jnp.tile(jnp.eye(3, dtype=jnp.float32), (P, 1, 1)),
+        prior_q=jnp.array(cam_q[0]), prior_t=jnp.array(cam_t[0]),
+        has_prior=jnp.array(True),
+    )
+    t_ba = timeit(
+        lambda: local_ba.solve_local_ba(cam, prob, n_free=L), warmup=1, iters=3
+    )
+    detail["local_ba_ms"] = t_ba * 1e3
+    detail["ba_solves_per_sec"] = 1.0 / t_ba
+
+    # offline protocol: KF (assoc + BA) every ~10 frames, inline
+    kf_every = 10.0
+    t_total = t_frame + (t_render + t_assoc + t_ba) / kf_every
+    fps = 1.0 / t_total
+    detail["frame_core_ms"] = t_frame * 1e3
+    detail["effective_frame_ms"] = t_total * 1e3
+    detail["device"] = str(jax.devices()[0])
+
+    print(json.dumps(detail), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_sec_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 20.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

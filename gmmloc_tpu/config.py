@@ -146,6 +146,12 @@ class TrackingConfig:
     kf_map_ratio: float = 0.35
     kf_min_inliers: int = 15
     kf_queue_cap: int = 3
+    # Constant-velocity model damping. 1.0 reproduces the reference
+    # (gmmloc.cpp:288 delta * Tcw); <1.0 geometrically decays the
+    # extrapolated velocity, bounding the pose random-walk gain during
+    # near-stationary, depth-degenerate stretches (e_pre = (1+g)e1 - g e2
+    # has spectral radius 1 instead of 2). Deliberate, documented deviation.
+    velocity_damping: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -50,6 +50,10 @@ class SyntheticWorld:
     base_angle: np.ndarray     # (N,) degrees
     ref_dist: np.ndarray       # (N,) scale-reference distance A_l
     comp_id: np.ndarray        # (N,) source GMM component (or -1)
+    response: np.ndarray       # (N,) persistent corner strength — per-frame
+    # selection ranks by response so the detected set is stable across
+    # frames (real detectors re-find the same strong corners), with churn
+    # entering only through per-frame response jitter + dropout.
 
 
 def sample_world_from_gmm(
@@ -85,6 +89,7 @@ def sample_world_from_gmm(
         base_angle=rng.uniform(0, 360, N).astype(np.float32),
         ref_dist=rng.uniform(1.5, 12.0, N),
         comp_id=comp_ids.astype(np.int32),
+        response=rng.uniform(0.0, 1.0, N).astype(np.float32),
     )
 
 
@@ -116,10 +121,39 @@ class SyntheticFrontend:
         self.log_sf = np.log(cfg.frame.scale_factor)
         self.num_levels = cfg.frame.num_levels
         self.last_landmark_ids: Optional[np.ndarray] = None
+        # Temporally-correlated observation noise: a static camera sees the
+        # SAME image, so detections repeat almost exactly (iid per-frame
+        # noise would inject drift energy a real sensor never produces).
+        # Per-landmark AR(1) noise states, refreshed in proportion to the
+        # actual camera motion between frames.
+        N = len(world.landmarks)
+        self._noise_uv = self.rng.standard_normal((N, 2))
+        self._noise_disp = self.rng.standard_normal(N)
+        self._noise_det = self.rng.standard_normal(N)
+        self._prev_q: Optional[np.ndarray] = None
+        self._prev_t: Optional[np.ndarray] = None
+
+    def _advance_noise(self, q_wc, t_wc):
+        if self._prev_t is not None:
+            dt = np.linalg.norm(t_wc - self._prev_t)
+            dq = abs(float(np.dot(q_wc, self._prev_q)))
+            dang = 2.0 * np.arccos(min(1.0, dq))
+            rho = float(np.exp(-(dt / 0.01 + dang / 0.005)))
+        else:
+            rho = 0.0
+        self._prev_q, self._prev_t = q_wc.copy(), t_wc.copy()
+        N = len(self.world.landmarks)
+        fresh_uv = self.rng.standard_normal((N, 2))
+        fresh_d = self.rng.standard_normal(N)
+        c = np.sqrt(max(0.0, 1.0 - rho * rho))
+        self._noise_uv = rho * self._noise_uv + c * fresh_uv
+        self._noise_disp = rho * self._noise_disp + c * fresh_d
+        self._noise_det = rho * self._noise_det + c * self.rng.standard_normal(N)
 
     def make_frame(self, idx: int, timestamp: float, q_wc, t_wc) -> Frame:
         cam = self.cam
         w = self.world
+        self._advance_noise(np.asarray(q_wc), np.asarray(t_wc))
         R_wc = _quat_to_mat(q_wc)
         R_cw = R_wc.T
         t_cw = -R_cw @ t_wc
@@ -134,13 +168,16 @@ class SyntheticFrontend:
         vis &= z < 45.0
         ids = np.where(vis)[0]
 
-        # detection dropout + budget
-        keep = self.rng.random(len(ids)) > self.drop_frac
+        # detection dropout + budget: rank by persistent response with small
+        # per-frame jitter, so the detected set is stable across frames
+        from scipy.stats import norm as _norm
+        keep = _norm.cdf(self._noise_det[ids]) > self.drop_frac
         ids = ids[keep]
         n_budget = self.cfg.frame.num_features
         n_spur = int(n_budget * self.spurious_frac)
         if len(ids) > n_budget - n_spur:
-            ids = self.rng.choice(ids, n_budget - n_spur, replace=False)
+            score = w.response[ids] + 0.02 * self._noise_det[ids]
+            ids = ids[np.argsort(-score)[: n_budget - n_spur]]
         n = len(ids)
 
         dist = np.linalg.norm(w.landmarks[ids] - t_wc, axis=-1)
@@ -151,11 +188,11 @@ class SyntheticFrontend:
         ).astype(np.int32)
 
         sf = self.cfg.frame.scale_factors()[octave]
-        uu = u[ids] + self.rng.standard_normal(n) * self.pixel_noise * sf
-        vv = v[ids] + self.rng.standard_normal(n) * self.pixel_noise * sf
+        uu = u[ids] + self._noise_uv[ids, 0] * self.pixel_noise * sf
+        vv = v[ids] + self._noise_uv[ids, 1] * self.pixel_noise * sf
 
         # stereo: disparity with noise; a fraction fails stereo matching
-        disp = cam.bf / z[ids] + self.rng.standard_normal(n) * self.disp_noise * sf
+        disp = cam.bf / z[ids] + self._noise_disp[ids] * self.disp_noise * sf
         has_st = (self.rng.random(n) < self.stereo_frac) & (disp > 0.3)
         ur = np.where(has_st, uu - disp, -1.0).astype(np.float32)
         depth = np.where(has_st, cam.bf / np.clip(disp, 0.3, None), -1.0).astype(np.float32)

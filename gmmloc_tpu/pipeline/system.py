@@ -80,8 +80,15 @@ class GMMLocSystem:
             frame.set_pose(self.curr_frame.q_cw, self.curr_frame.t_cw)
         else:
             # delta = T_curr * T_last^-1 ; init = delta * T_curr
+            # (optionally damped — see TrackingConfig.velocity_damping)
             ql_wc, tl_wc = ms._inverse(self.last_frame.q_cw, self.last_frame.t_cw)
             dq, dt = ms._compose(self.curr_frame.q_cw, self.curr_frame.t_cw, ql_wc, tl_wc)
+            g = self.cfg.tracking.velocity_damping
+            if g < 1.0:
+                dt = dt * g
+                dq = dq.copy()
+                dq[1:] *= g  # shrink rotation toward identity
+                dq /= np.linalg.norm(dq)
             q, t = ms._compose(dq, dt, self.curr_frame.q_cw, self.curr_frame.t_cw)
             frame.set_pose(q, t)
 

@@ -79,6 +79,10 @@ def optimize_pose(
         q, t, outlier = carry
         active = valid & ~outlier
         use_huber = rd < 3  # robust kernel removed at it==2 (tracking_opt.cpp:181,207)
+        # each round restarts from the frame's initial pose with the refined
+        # outlier set (tracking_opt.cpp:157 setEstimate(curr->getTcw())) —
+        # this breaks robust-outlier basin locking
+        q, t = q0, t0
 
         def gn_iter(_, qt):
             q_i, t_i = qt
