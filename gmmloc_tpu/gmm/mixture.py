@@ -94,15 +94,41 @@ def build_neighbor_graph(
     """
     K = means.shape[0]
     neighbors = np.full((K, cap), -1, dtype=np.int32)
-    means_d, covs_d, dets_d = jnp.asarray(means), jnp.asarray(covs), jnp.asarray(dets)
+    # Load-time-only O(K^2) pass: blocked host numpy. (A device variant via
+    # _bh_block exists but round-trips each block through the host<->TPU
+    # link, which dominates at startup; and chaining device slices across
+    # dispatches deadlocks the axon runtime.)
+    means = np.asarray(means, np.float64)
+    covs = np.asarray(covs, np.float64)
+    dets = np.asarray(dets, np.float64)
     valid_np = np.asarray(valid)
     for start in range(0, K, block):
         stop = min(start + block, K)
-        dist = _bh_block(
-            means_d, covs_d, dets_d,
-            means_d[start:stop], covs_d[start:stop], dets_d[start:stop],
+        cov = 0.5 * (covs[start:stop, None] + covs[None, :])       # (B,K,3,3)
+        a, b, c3 = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
+        e, f = cov[..., 1, 1], cov[..., 1, 2]
+        i = cov[..., 2, 2]
+        # symmetric 3x3 closed-form det + inverse-quadratic-form
+        det_c = a * (e * i - f * f) - b * (b * i - f * c3) + c3 * (b * f - e * c3)
+        delta = means[None, :] - means[start:stop, None]
+        dx, dy, dz = delta[..., 0], delta[..., 1], delta[..., 2]
+        # adjugate entries (symmetric)
+        A00 = e * i - f * f
+        A01 = c3 * f - b * i
+        A02 = b * f - c3 * e
+        A11 = a * i - c3 * c3
+        A12 = b * c3 - a * f
+        A22 = a * e - b * b
+        quad = (
+            dx * dx * A00 + dy * dy * A11 + dz * dz * A22
+            + 2 * (dx * dy * A01 + dx * dz * A02 + dy * dz * A12)
+        ) / np.clip(det_c, 1e-300, None)
+        d0 = quad / 8.0
+        d1 = 0.5 * np.log(
+            np.clip(det_c, 1e-300, None)
+            / np.sqrt(np.clip(dets[start:stop, None] * dets[None, :], 1e-300, None))
         )
-        dist = np.asarray(dist)
+        dist = d0 + d1
         for r in range(stop - start):
             i = start + r
             if not valid_np[i]:

@@ -537,10 +537,15 @@ class Localization:
         fixed = fixed[: caps.fixed_ba_kfs]
         fixed_set = set(fixed)
 
-        # first map KF handling: prior if it's in the local set, else fixed
+        # first map KF handling: prior if it's in the local set, else fixed.
+        # The prior factor acts on camera SLOT 0, so the first KF must be
+        # moved to the front of the local list when the prior is active.
         first_kf = w._kf_order[0] if w._kf_order else -1
         has_prior = cfg.loc.ba_first_as_prior and (first_kf in local_set)
-        if not cfg.loc.ba_first_as_prior and first_kf in local_set:
+        if has_prior:
+            local.remove(first_kf)
+            local.insert(0, first_kf)
+        elif not cfg.loc.ba_first_as_prior and first_kf in local_set:
             local.remove(first_kf)
             fixed.insert(0, first_kf)
             fixed_set.add(first_kf)
