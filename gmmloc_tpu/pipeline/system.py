@@ -27,7 +27,7 @@ from ..tracking.tracker import Tracker, TrackStat
 
 
 class GMMLocSystem:
-    def __init__(self, cfg: SystemConfig, gmap: mixture.GMMMap):
+    def __init__(self, cfg: SystemConfig, gmap: mixture.GMMMap, vocabulary=None):
         self.cfg = cfg
         self.cam = cam_mod.CameraParams.from_config(cfg.camera)
         self.gmap = gmap
@@ -35,6 +35,11 @@ class GMMLocSystem:
         self.assoc = GMMAssociator(cfg, self.cam, gmap)
         self.tracker = Tracker(cfg, self.cam, self.world)
         self.localizer = Localization(cfg, self.cam, self.world, self.assoc)
+        self.relocalizer = None
+        if vocabulary is not None:
+            from ..tracking.relocalize import Relocalizer
+
+            self.relocalizer = Relocalizer(cfg, self.cam, self.world, vocabulary)
         self.initialized = False
         self.curr_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
@@ -112,6 +117,8 @@ class GMMLocSystem:
         self.assoc.create_map_points_from_stereo(
             self.world, frame, kf, check_depth=not is_first
         )
+        if self.relocalizer is not None:
+            self.relocalizer.add_keyframe(kf)
         return kf
 
     def need_new_keyframe(self, stat: TrackStat) -> bool:
@@ -168,6 +175,14 @@ class GMMLocSystem:
             stat = TrackStat(res=True, num_match_inliers=0, ratio_map=1.0)
         else:
             stat = self.tracker.track(frame)
+            if not stat.res and self.relocalizer is not None:
+                # capability extension: attempt relocalization instead of
+                # terminating (the reference breaks the loop here,
+                # gmmloc.cpp:157-159)
+                if self.relocalizer.relocalize(frame):
+                    self.tracker.last_frame = frame
+                    self.tracker.ref_keyframe = frame.ref_kf
+                    stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
             if not stat.res:
                 self.track_failed = True
                 return stat

@@ -1,0 +1,103 @@
+"""Relocalization: BoW place recognition + guided pose recovery.
+
+Capability EXTENSION over the reference: gmmloc has DBoW2 in-tree but no
+keyframe database — a tracking failure terminates the run
+(ref: gmmloc.cpp:157-159; SURVEY.md §5.3 flags this as the stress-config
+extension). Pipeline: query the inverted-index database -> per candidate:
+mutual-best Hamming matching to the KF's landmarks -> pose-only solve
+seeded at the candidate KF pose -> accept on inlier count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..features import matching
+from ..geometry import camera as cam_mod
+from ..mapping.map_state import MapState
+from ..solver import pose_solver
+from ..vocab.bow import KeyFrameDatabase, Vocabulary
+from .frame import Frame
+
+
+class Relocalizer:
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        cam: cam_mod.CameraParams,
+        world: MapState,
+        voc: Vocabulary,
+        min_inliers: int = 30,
+    ):
+        self.cfg = cfg
+        self.cam = cam
+        self.world = world
+        self.db = KeyFrameDatabase(voc)
+        self.min_inliers = min_inliers
+        pyr = world.pyr
+        self.sigma2_inv = pyr["sigma2_inv"]
+
+    def add_keyframe(self, kf: int) -> None:
+        w = self.world
+        self.db.add(kf, w.kf_feat_desc[kf], w.kf_feat_valid[kf])
+
+    def remove_keyframe(self, kf: int) -> None:
+        self.db.remove(kf)
+
+    def relocalize(self, frame: Frame) -> bool:
+        """Try to recover the frame pose from the map. Returns success."""
+        w = self.world
+        cands = self.db.query(frame.desc, frame.valid, top=5)
+        for kf, score in cands:
+            if not w.kf_valid[kf]:
+                continue
+            match, _ = matching.mutual_best_match(
+                jnp.array(frame.desc),
+                jnp.array(frame.valid),
+                jnp.array(w.kf_feat_desc[kf]),
+                jnp.array(w.kf_feat_valid[kf] & (w.kf_obs_point[kf] >= 0)),
+                max_dist=matching.TH_LOW,
+            )
+            match = np.asarray(match)
+            frame.mappoint[:] = -1
+            n = 0
+            for i in np.where(match >= 0)[0]:
+                p = w.kf_obs_point[kf, match[i]]
+                if p >= 0 and w.pt_valid[p]:
+                    frame.mappoint[i] = p
+                    n += 1
+            if n < 15:
+                continue
+            frame.set_pose(w.kf_q[kf], w.kf_t[kf])
+
+            has_pt = frame.mappoint >= 0
+            x_w = np.zeros((frame.feat_cap, 3), np.float32)
+            idx = np.where(has_pt)[0]
+            x_w[idx] = w.pt_pos[frame.mappoint[idx]]
+            obs = np.concatenate([frame.uv, frame.ur[:, None]], -1)
+            res = pose_solver.optimize_pose(
+                self.cam,
+                jnp.array(frame.q_cw, jnp.float32),
+                jnp.array(frame.t_cw, jnp.float32),
+                jnp.array(x_w),
+                jnp.array(obs, jnp.float32),
+                jnp.array(frame.ur >= 0),
+                jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
+                jnp.array(has_pt & frame.valid),
+            )
+            if int(res.num_inliers) >= self.min_inliers:
+                frame.set_pose(
+                    np.asarray(res.q, np.float64), np.asarray(res.t, np.float64)
+                )
+                frame.is_outlier = np.array(res.is_outlier)
+                for i in np.where(frame.mappoint >= 0)[0]:
+                    if frame.is_outlier[i]:
+                        frame.mappoint[i] = -1
+                        frame.is_outlier[i] = False
+                frame.ref_kf = kf
+                return True
+        return False
