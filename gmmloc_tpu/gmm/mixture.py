@@ -214,7 +214,14 @@ def from_arrays(
 def load(path: str, pad_to: int | None = None, **kw) -> GMMMap:
     """Load a .gmm protobuf stream into a GMMMap.
 
-    Ref: GMMUtility::loadGMMModel (gmm_utils.cpp:9-67).
+    Ref: GMMUtility::loadGMMModel (gmm_utils.cpp:9-67). Uses the native
+    C++ parser when available (utils/native.py), else pure Python.
     """
-    means, covs, _, _ = proto.load_gmm_file(path)
+    from ..utils import native
+
+    parsed = native.load_gmm_file(path) if native.available() else None
+    if parsed is None:
+        means, covs, _, _ = proto.load_gmm_file(path)
+    else:
+        means, covs, _, _ = parsed
     return from_arrays(means, covs, pad_to=pad_to, **kw)
