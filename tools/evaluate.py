@@ -1,0 +1,132 @@
+"""Evaluation harness: the reference's evaluate_euroc.sh protocol.
+
+(ref: /root/reference/gmmloc_ros/scripts/evaluate_euroc.sh — 5 runs per
+sequence, offline single-thread, TUM trajectory export;
+scripts/evo_euroc.py — APE translation mean/RMSE after SE3+scale Umeyama
+alignment.)
+
+Runs the full system on feature-level synthetic sequences generated along
+the real EuRoC GT trajectories against landmarks sampled from the real
+prior GMM maps (eval/synthetic.py rationale: image assets are not in the
+reference repo). Sequences V1_* use v1.gmm, V2_* use v2.gmm.
+
+Usage:
+  python tools/evaluate.py [--runs 5] [--frames 500] [--start 150]
+                           [--seqs V1_01_easy,V1_02_medium,...]
+                           [--out expr/]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gmmloc_tpu.config import euroc_v1_config
+from gmmloc_tpu.eval import ate, synthetic
+from gmmloc_tpu.gmm import mixture
+from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+ALL_SEQS = [
+    "V1_01_easy", "V1_02_medium", "V1_03_difficult",
+    "V2_01_easy", "V2_02_medium", "V2_03_difficult",
+]
+
+
+def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
+             out_path=None):
+    gt_path = f"{synthetic.GT_DIR}/{seq}.txt"
+    fe, ts, q_wc, t_wc = synthetic.make_sequence(
+        cfg, gt_path=gt_path,
+        gmm_path=synthetic.V2_GMM if seq.startswith("V2") else synthetic.V1_GMM,
+        n_landmarks=30000, seed=run_idx,
+        disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+    )
+    n_avail = len(ts) - start
+    N = min(n_frames, n_avail)
+    sys_ = GMMLocSystem(cfg, gmap)
+    t0 = time.time()
+    done = 0
+    for i in range(N):
+        fi = start + i
+        f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+        st = sys_.step(f, q_wc[fi], t_wc[fi])
+        if not st.res:
+            break
+        done += 1
+    wall = time.time() - t0
+    ts_est, q_est, t_est = sys_.export_trajectory()
+    if out_path:
+        sys_.world.save_trajectory_tum(out_path)
+    m = ate.ate_rmse(ts_est, t_est, ts[start : start + done], t_wc[start : start + done])
+    m.update(
+        frames=done, target=N, fps=done / wall if wall > 0 else 0.0,
+        kfs=sys_.world.n_keyframes(), pts=sys_.world.n_points(),
+        completed=done == N,
+    )
+    return m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--start", type=int, default=150)
+    ap.add_argument("--seqs", default="V1_01_easy")
+    ap.add_argument("--out", default="expr")
+    ap.add_argument("--damping", type=float, default=0.9)
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=args.damping)
+    )
+    seqs = args.seqs.split(",") if args.seqs != "all" else ALL_SEQS
+
+    results = {}
+    gmaps = {}
+    for seq in seqs:
+        gmm_path = synthetic.V2_GMM if seq.startswith("V2") else synthetic.V1_GMM
+        if gmm_path not in gmaps:
+            gmaps[gmm_path] = mixture.load(
+                gmm_path, pad_to=cfg.caps.gmm_components_pad,
+                neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+                neighbor_cap=cfg.gmm.neighbor_cap,
+            )
+        runs = []
+        for r in range(args.runs):
+            out_path = os.path.join(args.out, f"{seq}{r}.txt")
+            m = run_once(cfg, seq, r, args.frames, args.start,
+                         gmaps[gmm_path], out_path)
+            runs.append(m)
+            print(
+                f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm mean={m['mean']*100:.2f}cm "
+                f"frames={m['frames']}/{m['target']} fps={m['fps']:.2f} "
+                f"kfs={m['kfs']}", flush=True,
+            )
+        rmses = [m["rmse"] for m in runs]
+        results[seq] = {
+            "rmse_mean": float(np.mean(rmses)),
+            "rmse_std": float(np.std(rmses)),
+            "completion": float(np.mean([m["completed"] for m in runs])),
+            "runs": runs,
+        }
+
+    print("\n=== summary ===")
+    for seq, r in results.items():
+        print(
+            f"{seq}: ATE rmse {r['rmse_mean']*100:.2f} ± {r['rmse_std']*100:.2f} cm "
+            f"(completion {r['completion']*100:.0f}%)"
+        )
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()
