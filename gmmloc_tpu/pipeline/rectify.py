@@ -95,8 +95,10 @@ class Rectifier:
     def __init__(self, yaml_path: str):
         with open(yaml_path) as f:
             txt = f.read()
-        # strip the OpenCV yaml directive + matrix tags
+        # OpenCV FileStorage yaml is not valid YAML ("%YAML:1.0" directive,
+        # "!!opencv-matrix" tags, "data:[..." without a space) — normalize.
         txt = txt.replace("%YAML:1.0", "").replace("!!opencv-matrix", "")
+        txt = txt.replace("data:[", "data: [")
         cfg = yaml.safe_load(txt)
 
         def mat(side, name):
