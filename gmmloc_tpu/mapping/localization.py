@@ -284,30 +284,41 @@ class Localization:
 
         CK = cands.shape[1]
         flat_c = cands[mi].reshape(-1)
-        safe_c = np.maximum(flat_c, 0)
+        n_flat = len(flat_c)
+        from .association import bucket_size
+
+        B = bucket_size(n_flat)
+
+        def padb(a, fill=0.0):
+            a = np.asarray(a)
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[:n_flat] = a
+            return out
+
+        safe_c = np.maximum(padb(flat_c, 0), 0)
         rep = lambda a: np.repeat(a[mi], CK, axis=0)
         x_opt, c1o, c2o, cso = point_solver.optimize_triangulation(
             self.cam,
-            jnp.array(rep(pts0), jnp.float32),
-            jnp.tile(jnp.array(q1, jnp.float32), (len(flat_c), 1)),
-            jnp.tile(jnp.array(t1, jnp.float32), (len(flat_c), 1)),
-            jnp.array(rep(obs1), jnp.float32),
-            jnp.array(rep(st1)),
-            jnp.array(rep(s2i1), jnp.float32),
-            jnp.tile(jnp.array(q2, jnp.float32), (len(flat_c), 1)),
-            jnp.tile(jnp.array(t2, jnp.float32), (len(flat_c), 1)),
-            jnp.array(rep(obs2), jnp.float32),
-            jnp.array(rep(st2)),
-            jnp.array(rep(s2i2), jnp.float32),
+            jnp.array(padb(rep(pts0)), jnp.float32),
+            jnp.tile(jnp.array(q1, jnp.float32), (B, 1)),
+            jnp.tile(jnp.array(t1, jnp.float32), (B, 1)),
+            jnp.array(padb(rep(obs1)), jnp.float32),
+            jnp.array(padb(rep(st1), False)),
+            jnp.array(padb(rep(s2i1), 1.0), jnp.float32),
+            jnp.tile(jnp.array(q2, jnp.float32), (B, 1)),
+            jnp.tile(jnp.array(t2, jnp.float32), (B, 1)),
+            jnp.array(padb(rep(obs2)), jnp.float32),
+            jnp.array(padb(rep(st2), False)),
+            jnp.array(padb(rep(s2i2), 1.0), jnp.float32),
             jnp.array(self.assoc._normal[safe_c], jnp.float32),
             jnp.array(self.assoc._means[safe_c], jnp.float32),
             tri_lambda2=cfg.loc.tri_lambda2,
             iters=cfg.loc.tri_opt_iters,
         )
-        x_opt = np.asarray(x_opt).reshape(len(mi), CK, 3)
-        c1o = np.asarray(c1o).reshape(len(mi), CK)
-        c2o = np.asarray(c2o).reshape(len(mi), CK)
-        cso = np.asarray(cso).reshape(len(mi), CK)
+        x_opt = np.asarray(x_opt)[:n_flat].reshape(len(mi), CK, 3)
+        c1o = np.asarray(c1o)[:n_flat].reshape(len(mi), CK)
+        c2o = np.asarray(c2o)[:n_flat].reshape(len(mi), CK)
+        cso = np.asarray(cso)[:n_flat].reshape(len(mi), CK)
 
         th1 = np.where(st1[mi], 7.8, 5.991)[:, None]
         th2 = np.where(st2[mi], 7.8, 5.991)[:, None]
@@ -415,10 +426,11 @@ class Localization:
             self._fuse(kf, np.array(fuse_cand))
 
         o = w.kf_obs_point[kf]
-        for p in np.unique(o[o >= 0]):
+        upd = np.unique(o[o >= 0])
+        for p in upd:
             if w.pt_valid[p]:
                 w.compute_distinctive_descriptor(p)
-                w.update_normal_and_depth(p)
+        w.update_normal_and_depth_batch(upd)
         w.update_connections(kf)
 
     def _fuse(self, kf: int, pids: np.ndarray, th: float = 3.0) -> int:
@@ -676,9 +688,7 @@ class Localization:
             if w.pt_valid[p]:
                 if w.remove_observation(p, k):
                     w.remove_point(p)
-        for p, i in pt_slot.items():
-            if w.pt_valid[p]:
-                w.update_normal_and_depth(p)
+        w.update_normal_and_depth_batch(np.array(list(pt_slot.keys())))
 
     # ------------------------------------------------------------------
 

@@ -306,6 +306,46 @@ class MapState:
         self.pt_max_dist[p] = dist * sf[level]
         self.pt_min_dist[p] = self.pt_max_dist[p] / sf[-1]
 
+    def update_normal_and_depth_batch(self, pids: np.ndarray) -> None:
+        """Vectorized update_normal_and_depth over many points."""
+        pids = np.asarray(pids)
+        pids = pids[self.pt_valid[pids]]
+        if len(pids) == 0:
+            return
+        # camera centers for all valid KFs
+        t_wc = np.zeros((self.MK, 3))
+        kfs_valid = np.where(self.kf_valid)[0]
+        for kf in kfs_valid:
+            t_wc[kf] = -_quat_to_mat(self.kf_q[kf]).T @ self.kf_t[kf]
+
+        obs_kf = self.pt_obs_kf[pids]                      # (n, MO)
+        mask = obs_kf >= 0
+        centers = t_wc[np.maximum(obs_kf, 0)]              # (n, MO, 3)
+        v = self.pt_pos[pids][:, None, :] - centers
+        norm = np.linalg.norm(v, axis=-1, keepdims=True)
+        v = np.where(mask[..., None], v / np.clip(norm, 1e-12, None), 0.0)
+        cnt = np.clip(mask.sum(1), 1, None)
+        self.pt_normal[pids] = v.sum(1) / cnt[:, None]
+
+        ref = self.pt_ref_kf[pids].copy()
+        bad_ref = (ref < 0) | ~self.kf_valid[np.maximum(ref, 0)]
+        if bad_ref.any():
+            first = np.where(mask, obs_kf, self.MK).min(1)
+            ref = np.where(bad_ref, np.where(first < self.MK, first, 0), ref)
+            self.pt_ref_kf[pids] = ref
+        dist = np.linalg.norm(self.pt_pos[pids] - t_wc[ref], axis=-1)
+        # octave of the observation in the ref KF
+        ref_slot = np.argmax(obs_kf == ref[:, None], axis=1)
+        feat = self.pt_obs_feat[pids, ref_slot]
+        level = np.where(
+            (obs_kf[np.arange(len(pids)), ref_slot] == ref) & (feat >= 0),
+            self.kf_feat_octave[ref, np.maximum(feat, 0)],
+            0,
+        )
+        sf = self.pyr["scale_factors"]
+        self.pt_max_dist[pids] = dist * sf[level]
+        self.pt_min_dist[pids] = self.pt_max_dist[pids] / sf[-1]
+
     # ------------------------------------------------------- covisibility
 
     def update_connections(self, kf: int) -> int:

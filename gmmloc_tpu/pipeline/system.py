@@ -40,6 +40,12 @@ class GMMLocSystem:
             from ..tracking.relocalize import Relocalizer
 
             self.relocalizer = Relocalizer(cfg, self.cam, self.world, vocabulary)
+        self.online = None
+        if cfg.online:
+            from ..mapping.online import OnlineLocalization
+
+            self.online = OnlineLocalization(self.localizer)
+            self.online.start()
         self.initialized = False
         self.curr_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
@@ -150,11 +156,15 @@ class GMMLocSystem:
             or stat.ratio_map < th_map_ratio
         ) and stat.num_match_inliers > cfg.kf_min_inliers
 
-        if (c1a or c1b or self.localizer.is_idle) and c2:
-            if self.localizer.is_idle:
+        mapper = self.online if self.online is not None else self.localizer
+        if (c1a or c1b or mapper.is_idle) and c2:
+            if mapper.is_idle:
                 return True
-            self.localizer.abort_ba = True
-            return self.localizer.count_queue() < cfg.kf_queue_cap
+            if self.online is not None:
+                self.online.interrupt_ba()
+            else:
+                self.localizer.abort_ba = True
+            return mapper.count_queue() < cfg.kf_queue_cap
         return False
 
     # ------------------------------------------------------------------
@@ -165,8 +175,10 @@ class GMMLocSystem:
 
         if not self.initialized:
             kf = self.process_keyframe(frame, is_first=True)
-            self.localizer.insert_keyframe(kf)
-            if not self.cfg.online:
+            if self.online is not None:
+                self.online.insert_keyframe(kf)
+            else:
+                self.localizer.insert_keyframe(kf)
                 self.localizer.spin_once()
             frame.ref_kf = kf
             self.curr_keyframe = kf
@@ -189,8 +201,10 @@ class GMMLocSystem:
             if self.need_new_keyframe(stat):
                 kf = self.process_keyframe(frame)
                 self.curr_keyframe = kf
-                self.localizer.insert_keyframe(kf)
-                if not self.cfg.online:
+                if self.online is not None:
+                    self.online.insert_keyframe(kf)
+                else:
+                    self.localizer.insert_keyframe(kf)
                     self.localizer.spin_once()
             self.n_tracked += 1
 
@@ -219,6 +233,11 @@ class GMMLocSystem:
             if on_frame is not None:
                 on_frame(i, frame, stat)
         return self.world
+
+    def stop(self) -> None:
+        """Drain the mapping thread (online mode; ref gmmloc.cpp:366)."""
+        if self.online is not None:
+            self.online.stop()
 
     def export_trajectory(self, path: Optional[str] = None):
         if path is not None:
