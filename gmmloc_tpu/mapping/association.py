@@ -24,6 +24,7 @@ from ..geometry import camera as cam_mod
 from ..gmm import gaussian, mixture, render as render_mod
 from ..mapping import map_state as ms
 from ..solver import point_solver
+from ..utils.timing import Timer
 
 
 def bucket_size(n: int, lo: int = 256) -> int:
@@ -53,6 +54,7 @@ class GMMAssociator:
         """renderView + searchCorrespondence -> kf_comp_cand
         (ref: associateMapElements, gmmloc_opt.cpp:115-153)."""
         g = self.cfg.gmm
+        t_rv = Timer("loc/render_view").start()
         r2d = render_mod.render_view(
             self.gmap,
             self.cam,
@@ -62,6 +64,8 @@ class GMMAssociator:
             cov2d_scale_thresh=g.cov2d_scale_thresh,
             occlusion_bh_thresh=g.occlusion_bh_thresh,
         )
+        t_rv.stop()
+        t_sc = Timer("map/search_corr").start()
         cand = render_mod.search_correspondence(
             r2d,
             jnp.array(world.kf_feat_uv[kf], jnp.float32),
@@ -70,6 +74,7 @@ class GMMAssociator:
             mdist2_thresh=g.assoc_mdist2_thresh,
         )
         world.kf_comp_cand[kf] = np.asarray(cand)
+        t_sc.stop()
 
     # ------------------------------------------------------------------
 

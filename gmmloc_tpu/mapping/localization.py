@@ -22,6 +22,7 @@ from ..config import SystemConfig
 from ..features import matching
 from ..geometry import camera as cam_mod
 from ..solver import local_ba, point_solver
+from ..utils.timing import Timer
 from . import map_state as ms
 from .association import GMMAssociator
 
@@ -62,16 +63,19 @@ class Localization:
         if not self.queue:
             return
         self.is_idle = False
-        self.process_new_keyframe()
-        self.remove_map_points()
-        self.create_map_points()
-        if not self.queue:
-            self.search_in_neighbors()
-        self.abort_ba = False
-        if not self.queue:
-            if self.world.n_keyframes() > 2:
-                self.joint_optimization()
-            self.remove_keyframes()
+        with Timer("loc"):
+            with Timer("loc/miscs"):
+                self.process_new_keyframe()
+                self.remove_map_points()
+                self.create_map_points()
+                if not self.queue:
+                    self.search_in_neighbors()
+            self.abort_ba = False
+            if not self.queue:
+                if self.world.n_keyframes() > 2:
+                    with Timer("loc/ba"):
+                        self.joint_optimization()
+                self.remove_keyframes()
         self.is_idle = True
 
     # ------------------------------------------------------------------

@@ -89,11 +89,8 @@ class Tracker:
         # map-coverage ratio over near-depth features (tracking.cpp:86-103)
         near = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
         num_total = int(near.sum())
-        has_pt = frame.mappoint >= 0
-        num_map = 0
-        for i in np.where(near & has_pt)[0]:
-            if w.pt_n_obs[frame.mappoint[i]] > 0:
-                num_map += 1
+        sel = near & (frame.mappoint >= 0)
+        num_map = int((w.pt_n_obs[frame.mappoint[sel]] > 0).sum())
         self.stat.ratio_map = num_map / max(1, num_total)
 
         self._cleanup(frame)
@@ -104,13 +101,22 @@ class Tracker:
 
     def _update_last_frame(self) -> None:
         """Swap replaced mappoints (tracking.cpp:397-408)."""
-        f = self.last_frame
-        for i in np.where(f.mappoint >= 0)[0]:
-            p = self.world.resolve_replaced(f.mappoint[i])
-            if p != f.mappoint[i]:
-                f.mappoint[i] = p
-            if p >= 0 and not self.world.pt_valid[p]:
-                f.mappoint[i] = -1
+        f = self.world
+        fr = self.last_frame
+        has = fr.mappoint >= 0
+        idx = np.where(has)[0]
+        if len(idx):
+            pts = fr.mappoint[idx].copy()
+            rep = f.pt_replaced_by[pts]
+            # follow one-step replacement chains (iterate a few times)
+            for _ in range(4):
+                follow = rep >= 0
+                if not follow.any():
+                    break
+                pts[follow] = rep[follow]
+                rep = f.pt_replaced_by[pts]
+            pts[~f.pt_valid[pts]] = -1
+            fr.mappoint[idx] = pts
 
     def _create_temporal_points(self) -> None:
         """Short-lived stereo landmarks from the last frame
@@ -189,16 +195,14 @@ class Tracker:
         """Post-solve outlier stripping (tracking.cpp:355-377).
         Returns matches that belong to the persistent map."""
         w = self.world
-        num_map = 0
-        for i in np.where((frame.mappoint >= 0) & frame.valid)[0]:
-            p = frame.mappoint[i]
-            if frame.is_outlier[i]:
-                frame.mappoint[i] = -1
-                frame.is_outlier[i] = False
-                w.pt_last_visible_idx[p] = frame.idx
-            elif w.pt_n_obs[p] > 0:
-                num_map += 1
-        return num_map
+        has = (frame.mappoint >= 0) & frame.valid
+        out = has & frame.is_outlier
+        pout = frame.mappoint[out]
+        w.pt_last_visible_idx[pout] = frame.idx
+        frame.mappoint[out] = -1
+        frame.is_outlier[out] = False
+        good = has & ~out
+        return int((w.pt_n_obs[frame.mappoint[good]] > 0).sum())
 
     def _track_with_motion_model(self, frame: Frame) -> int:
         """tracking.cpp:334-393."""
@@ -253,11 +257,9 @@ class Tracker:
             use_rotation=True,
         )
         match = np.asarray(match)
-        n = 0
-        for qi in np.where(match >= 0)[0]:
-            frame.mappoint[match[qi]] = ids[qi]
-            n += 1
-        return n
+        qi = np.where(match >= 0)[0]
+        frame.mappoint[match[qi]] = ids[qi]
+        return len(qi)
 
     def _track_keyframe(self, frame: Frame) -> int:
         """BoW-free re-track against the reference KF (tracking.cpp:297-332;
@@ -404,22 +406,18 @@ class Tracker:
             use_rotation=False,
         )
         match = np.asarray(match)
-        for qi in np.where(match >= 0)[0]:
-            frame.mappoint[match[qi]] = cand[qi]
+        qi = np.where(match >= 0)[0]
+        frame.mappoint[match[qi]] = cand[qi]
 
     def _track_local_map(self, frame: Frame) -> int:
         """tracking.cpp:269-294."""
         w = self.world
         self._run_pose_opt(frame)
-        num_inliers = 0
-        for i in np.where((frame.mappoint >= 0) & frame.valid)[0]:
-            p = frame.mappoint[i]
-            if not frame.is_outlier[i]:
-                w.pt_num_found[p] += 1
-                if w.pt_n_obs[p] > 0:
-                    num_inliers += 1
-            else:
-                frame.mappoint[i] = -1
+        has = (frame.mappoint >= 0) & frame.valid
+        inl = has & ~frame.is_outlier
+        np.add.at(w.pt_num_found, frame.mappoint[inl], 1)
+        num_inliers = int((w.pt_n_obs[frame.mappoint[inl]] > 0).sum())
+        frame.mappoint[has & frame.is_outlier] = -1
         return num_inliers
 
     # ------------------------------------------------------------------
@@ -427,11 +425,11 @@ class Tracker:
     def _cleanup(self, frame: Frame) -> None:
         """clearTemporalPoints (tracking.cpp:379-395)."""
         w = self.world
-        for i in np.where(frame.mappoint >= 0)[0]:
-            p = frame.mappoint[i]
-            if w.pt_n_obs[p] < 1:
-                frame.is_outlier[i] = False
-                frame.mappoint[i] = -1
+        has = frame.mappoint >= 0
+        tmp = has.copy()
+        tmp[has] = w.pt_n_obs[frame.mappoint[has]] < 1
+        frame.is_outlier[tmp] = False
+        frame.mappoint[tmp] = -1
         for p in self.temp_points:
             if w.pt_valid[p] and w.pt_n_obs[p] < 1:
                 w.remove_point(p)

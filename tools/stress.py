@@ -1,0 +1,103 @@
+"""Dense-map stress benchmark: 10x GMM component count.
+
+BASELINE.json stress config: "Dense GMM map stress: 10x component count +
+relocalization via DBoW2 place recognition". Builds a 10x-dense map by
+jittered replication of the real v1.gmm components and times the per-KF
+association path (renderView + searchCorrespondence) at that scale,
+single-device and sharded over the available mesh.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmmloc_tpu.config import CameraConfig, euroc_v1_config
+from gmmloc_tpu.geometry import camera as cam_mod
+from gmmloc_tpu.gmm import mixture, render
+from gmmloc_tpu.parallel import sharding
+from gmmloc_tpu.utils import proto
+
+
+def densify(means, covs, factor: int, seed: int = 0):
+    """Replicate components with small jitter around their own covariance."""
+    rng = np.random.default_rng(seed)
+    out_m = [means]
+    out_c = [covs]
+    evals, evecs = np.linalg.eigh(covs)
+    for _ in range(factor - 1):
+        jitter = (
+            rng.standard_normal(means.shape)
+            * np.sqrt(np.clip(evals, 0, None))
+            @ np.transpose(evecs, (0, 2, 1))
+        )
+        out_m.append(means + jitter * 0.5)
+        out_c.append(covs * rng.uniform(0.5, 1.5, (len(covs), 1, 1)))
+    return np.concatenate(out_m), np.concatenate(out_c)
+
+
+def timeit(fn, warmup=2, iters=10):
+    for _ in range(warmup):
+        r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    cam = cam_mod.CameraParams.from_config(CameraConfig())
+    means, covs, _, _ = proto.load_gmm_file(
+        "/root/reference/gmmloc_ros/data/map/v1.gmm"
+    )
+    means, covs = densify(means, covs, factor)
+    K = len(means)
+    pad = ((K + 255) // 256) * 256
+    print(f"stress map: K={K} (pad {pad})")
+
+    t0 = time.time()
+    gmap = mixture.from_arrays(
+        means, covs, pad_to=pad, neighbor_cap=16, neighbor_dist_thresh=2.5
+    )
+    print(f"build (incl. O(K^2) neighbor graph): {time.time()-t0:.1f}s")
+
+    q = jnp.array([1.0, 0, 0, 0], jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    rng = np.random.default_rng(0)
+    feat_uv = jnp.array(
+        rng.uniform([0, 0], [cam.width, cam.height], (1280, 2)), jnp.float32
+    )
+    fv = jnp.ones(1280, bool)
+
+    t_render = timeit(lambda: render.render_view(gmap, cam, q, t))
+    r2d = render.render_view(gmap, cam, q, t)
+    t_assoc = timeit(lambda: render.search_correspondence(r2d, feat_uv, fv))
+    print(f"single-device: render {t_render*1e3:.2f}ms assoc {t_assoc*1e3:.2f}ms")
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = sharding.make_mesh(n_dev)
+        gmap_sh = sharding.shard_gmm_map(gmap, mesh)
+        t_r_sh = timeit(
+            lambda: sharding.render_view_sharded(gmap_sh, cam, q, t, mesh)
+        )
+        r_sh = sharding.render_view_sharded(gmap_sh, cam, q, t, mesh)
+        t_a_sh = timeit(
+            lambda: sharding.search_correspondence_sharded(r_sh, feat_uv, fv, mesh)
+        )
+        print(
+            f"{n_dev}-device sharded: render {t_r_sh*1e3:.2f}ms assoc {t_a_sh*1e3:.2f}ms "
+            f"(speedup {t_render/t_r_sh:.2f}x / {t_assoc/t_a_sh:.2f}x)"
+        )
+
+
+if __name__ == "__main__":
+    main()
