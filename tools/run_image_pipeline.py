@@ -1,0 +1,77 @@
+"""Image-path smoke: sprite-rendered stereo -> ORB front-end -> system.
+
+Exercises the FULL pipeline including the image front-end (the
+feature-level harness bypasses it). Usage:
+  python tools/run_image_pipeline.py [n_frames] [start]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import dataclasses
+
+from gmmloc_tpu.config import euroc_v1_config
+from gmmloc_tpu.eval import synthetic
+from gmmloc_tpu.eval.image_synthetic import SpriteRenderer
+from gmmloc_tpu.gmm import mixture
+from gmmloc_tpu.mapping.map_state import _inverse
+from gmmloc_tpu.pipeline.frontend import ImageFrontend
+from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+
+    cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        camera=dataclasses.replace(cfg.camera, do_rectify=False, do_equalization=False),
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=0.9),
+    )
+    ts, q_wc, t_wc = synthetic.load_gt_trajectory(
+        f"{synthetic.GT_DIR}/V1_01_easy.txt"
+    )
+    from gmmloc_tpu.utils import proto
+
+    means, covs, _, _ = proto.load_gmm_file(synthetic.V1_GMM)
+    world = synthetic.sample_world_from_gmm(means, covs, n_landmarks=9000)
+    renderer = SpriteRenderer(world, cfg)
+    frontend = ImageFrontend(cfg)
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=cfg.caps.gmm_components_pad,
+        neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+        neighbor_cap=cfg.gmm.neighbor_cap,
+    )
+    sys_ = GMMLocSystem(cfg, gmap)
+
+    t0 = time.time()
+    errs = []
+    for i in range(n_frames):
+        fi = start + i
+        left, right = renderer.render_stereo(q_wc[fi], t_wc[fi])
+        frame = frontend.process(i, ts[fi], left, right)
+        n_depth = int((frame.depth > 0).sum())
+        st = sys_.step(frame, q_wc[fi], t_wc[fi])
+        qi, ti = _inverse(frame.q_cw, frame.t_cw)
+        err = np.linalg.norm(ti - t_wc[fi])
+        errs.append(err)
+        print(
+            f"f{i}: feats={frame.num_features()} stereo={n_depth} "
+            f"terr={err*1000:.1f}mm inl={st.num_match_inliers} "
+            f"kfs={sys_.world.n_keyframes()} pts={sys_.world.n_points()}",
+            flush=True,
+        )
+        if not st.res:
+            print("TRACKING FAILED")
+            break
+    wall = time.time() - t0
+    print(f"\n{len(errs)} frames in {wall:.0f}s; max err {max(errs)*1000:.1f}mm")
+
+
+if __name__ == "__main__":
+    main()
