@@ -616,6 +616,7 @@ class Localization:
         obs_ref = []  # (point_id, kf_id) for write-back of erasures
         oi = 0
         sigma2_inv = w.pyr["sigma2_inv"]
+        obs_per_cam = np.zeros(C, np.int64)
         for p, i in pt_slot.items():
             kfs, feats = w.point_observations(p)
             for k, ft in zip(kfs, feats):
@@ -632,7 +633,20 @@ class Localization:
                 obs_s2i[oi] = sigma2_inv[w.kf_feat_octave[k, ft]]
                 obs_valid[oi] = True
                 obs_ref.append((p, int(k)))
+                obs_per_cam[slot_of[k]] += 1
                 oi += 1
+
+        # A local KF with almost no surviving observations is effectively
+        # unconstrained — optimizing it lets it wander (observed r1: culled
+        # points left stale KFs that BA dragged ~0.5m, corrupting frames
+        # anchored to them). Demote such KFs to fixed by zeroing their free
+        # status via cam_valid masking in slot space.
+        weak = (np.arange(C) < L) & cam_valid & (obs_per_cam < 10)
+        if weak[0] and has_prior:
+            weak[0] = False  # the prior-anchored first KF stays free
+        cam_valid[weak] = False  # solver: invalid free slot == held fixed;
+        # its observations still constrain points (obs_on_free masks only
+        # the camera-side blocks).
 
         prob = local_ba.BAProblem(
             cam_q=jnp.array(cam_q, jnp.float32),

@@ -1,0 +1,168 @@
+"""Fused per-frame track step: one jitted megakernel per frame.
+
+The 20 Hz loop must not be dispatch-bound (SURVEY.md §7 hard part 4):
+this kernel fuses the whole per-frame compute —
+
+  project last-frame landmarks -> guided motion-model match (with the
+  reference's widened-window retry, tracking.cpp:345-350) -> staged
+  pose solve -> project + gate local-map points (scale/view-cos,
+  mappoint.cpp:257-299) -> guided local match -> second staged pose
+  solve -> inlier stats
+
+— into a single XLA program with static shapes. The host passes the
+last-frame set, the current frame's features, and a fixed-capacity local
+map snapshot; it gets back the pose, per-feature point assignments and
+stats in one device round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..features import matching
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..solver import pose_solver
+
+
+class FusedTrackResult(NamedTuple):
+    q: jax.Array              # (4,) optimized T_cw
+    t: jax.Array              # (3,)
+    feat_point: jax.Array     # (F,) int32 — local-map/last-frame point slot
+    feat_from_local: jax.Array  # (F,) bool — True if slot indexes local map
+    is_outlier: jax.Array     # (F,)
+    num_inliers: jax.Array    # ()
+    n_motion_matches: jax.Array  # ()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "num_levels")
+)
+def fused_track_step(
+    cam: cam_mod.CameraParams,
+    q0, t0,                       # const-velocity init T_cw
+    # last-frame landmark queries (slot-aligned with its features)
+    last_pts,                     # (F,3) world positions (0 if none)
+    last_desc, last_octave, last_angle, last_ur, last_valid,
+    # current frame features
+    feat_uv, feat_ur, feat_desc, feat_octave, feat_angle, feat_valid,
+    feat_sigma2_inv,
+    # local-map snapshot (fixed capacity P)
+    map_pts,                      # (P,3)
+    map_desc,                     # (P,32)
+    map_normal,                   # (P,3)
+    map_min_dist, map_max_dist,   # (P,)
+    map_valid,                    # (P,)
+    scale_factors,                # (L,)
+    log_scale_factor: float,
+    num_levels: int,
+    motion_radius: float = 7.0,
+    local_radius: float = 3.0,
+) -> FusedTrackResult:
+    F = feat_uv.shape[0]
+    P = map_pts.shape[0]
+
+    def project(q, t, pts):
+        pc = se3.apply(q, t, pts)
+        z = pc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = cam.fx * pc[..., 0] / zs + cam.cx
+        v = cam.fy * pc[..., 1] / zs + cam.cy
+        ur = u - cam.bf / zs
+        inside = (z > 0) & (u >= 0) & (v >= 0) & (u < cam.width) & (v < cam.height)
+        return jnp.stack([u, v], -1), ur, z, inside
+
+    # ---- stage 1: motion-model guided match ----------------------------
+    uv_p, ur_p, _, inside = project(q0, t0, last_pts)
+    q_valid = last_valid & inside
+
+    def run_match(th):
+        radius = th * scale_factors[last_octave]
+        m, _ = matching.search_by_projection(
+            uv_p, jnp.where(last_ur >= 0, ur_p, -1.0), last_desc,
+            last_octave, last_angle, q_valid, radius,
+            last_octave - 1, last_octave + 1,
+            feat_uv, feat_ur, feat_desc, feat_octave, feat_angle,
+            feat_valid, jnp.zeros(F, bool),
+            desc_thresh=matching.TH_HIGH, nn_ratio=1.0, use_rotation=True,
+        )
+        return m
+
+    m1 = run_match(motion_radius)
+    n1 = jnp.sum(m1 >= 0)
+    m1b = run_match(2.0 * motion_radius)
+    match_motion = jnp.where(n1 < 20, m1b, m1)          # (F queries,) feat idx
+    n_motion = jnp.sum(match_motion >= 0)
+
+    # feature -> last-frame slot assignment (scatter, F = scratch slot)
+    qidx = jnp.arange(F, dtype=jnp.int32)
+    tgt = jnp.where(match_motion >= 0, match_motion, F)
+    feat_point = jnp.full((F + 1,), -1, jnp.int32).at[tgt].set(qidx)[:F]
+    has1 = feat_point >= 0
+
+    # ---- first pose solve ---------------------------------------------
+    x1 = last_pts[jnp.clip(feat_point, 0)]
+    obs = jnp.concatenate([feat_uv, feat_ur[:, None]], -1)
+    res1 = pose_solver.optimize_pose(
+        cam, q0, t0, x1, obs, feat_ur >= 0, feat_sigma2_inv,
+        has1 & feat_valid,
+    )
+    inl1 = has1 & feat_valid & ~res1.is_outlier
+
+    # ---- stage 2: local-map gates + guided match -----------------------
+    q1, t1 = res1.q, res1.t
+    q_wc, t_wc = se3.inverse(q1, t1)
+    uv_m, ur_m, z_m, inside_m = project(q1, t1, map_pts)
+    v = map_pts - t_wc
+    dist = jnp.linalg.norm(v, axis=-1)
+    ok = (
+        map_valid & inside_m
+        & (dist >= 0.8 * map_min_dist) & (dist <= 1.2 * map_max_dist)
+        & (dist > 1e-9)
+    )
+    view_cos = jnp.einsum("pi,pi->p", v, map_normal) / jnp.clip(dist, 1e-9)
+    ok = ok & (view_cos >= 0.5)
+    lvl = jnp.ceil(
+        jnp.log(jnp.clip(map_max_dist / jnp.clip(dist, 1e-9), 1e-9))
+        / log_scale_factor
+    ).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, num_levels - 1)
+
+    m2, _ = matching.search_by_projection(
+        uv_m, ur_m, map_desc, lvl, jnp.zeros(P, jnp.float32), ok,
+        local_radius * scale_factors[lvl], lvl - 1, lvl,
+        feat_uv, feat_ur, feat_desc, feat_octave, feat_angle,
+        feat_valid, inl1,
+        desc_thresh=matching.TH_HIGH, nn_ratio=0.8, use_rotation=False,
+    )
+    # merge: features matched in stage 2 get local-map slots
+    tgt2 = jnp.where(m2 >= 0, m2, F)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    add2 = jnp.full((F + 1,), -1, jnp.int32).at[tgt2].set(pidx)[:F]
+    use2 = (add2 >= 0) & ~inl1
+    feat_from_local = use2
+    feat_point = jnp.where(use2, add2, feat_point)
+    has = (feat_point >= 0) & (inl1 | use2)
+
+    # ---- second pose solve --------------------------------------------
+    x2 = jnp.where(
+        use2[:, None], map_pts[jnp.clip(feat_point, 0)],
+        last_pts[jnp.clip(feat_point, 0)],
+    )
+    res2 = pose_solver.optimize_pose(
+        cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv, has & feat_valid
+    )
+    inliers = has & feat_valid & ~res2.is_outlier
+
+    return FusedTrackResult(
+        q=res2.q, t=res2.t,
+        feat_point=jnp.where(has, feat_point, -1),
+        feat_from_local=feat_from_local,
+        is_outlier=res2.is_outlier,
+        num_inliers=jnp.sum(inliers),
+        n_motion_matches=n_motion,
+    )
