@@ -84,10 +84,18 @@ def main():
         jnp.ones(F, jnp.float32), jnp.ones(F, bool),
     )
     t_pose = timeit(lambda: pose_solver.optimize_pose(cam, *args_pose))
-    # per frame: 2x guided match + 2x pose solve (motion model + local map)
-    t_frame = 2 * t_match + 2 * t_pose
     detail["match_ms"] = t_match * 1e3
     detail["pose_opt_ms"] = t_pose * 1e3
+
+    # fused single-dispatch track step (the production per-frame path)
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as _graft
+
+    fused_fn, fused_args = _graft.entry()
+    t_frame = timeit(lambda: fused_fn(*fused_args))
+    detail["fused_track_step_ms"] = t_frame * 1e3
 
     # ---- per-keyframe GMM association ----------------------------------
     gmap = mixture.load(
