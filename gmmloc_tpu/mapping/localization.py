@@ -567,6 +567,17 @@ class Localization:
             fixed_set.add(first_kf)
             local_set.discard(first_kf)
 
+        # GAUGE GUARD: a window with no fixed camera and no prior is
+        # anchored only by the GMM plane factors, whose normals can be
+        # near-parallel — the near-null gauge direction let whole windows
+        # slide ~0.5m (observed r1). Hold the oldest local KF fixed then.
+        if not fixed and not has_prior and len(local) > 1:
+            oldest = min(local, key=lambda k: w.kf_frame_idx[k])
+            local.remove(oldest)
+            fixed.insert(0, oldest)
+            fixed_set.add(oldest)
+            local_set.discard(oldest)
+
         L = caps.local_ba_kfs
         C = L + caps.fixed_ba_kfs
         P = caps.local_ba_points
@@ -682,11 +693,17 @@ class Localization:
             iters3=cfg.loc.ba_iters_stage3,
         )
 
-        # write back poses/points
+        # write back poses/points, rejecting implausible jumps: a local-BA
+        # step that moves a keyframe by decimetres is divergence (gauge
+        # slide / edge-deactivation runaway), not refinement — keep the
+        # tracked pose in that case (observed r1: 0.5m slides corrupted
+        # the anchored frame exports permanently).
         new_q = np.asarray(res.cam_q, np.float64)
         new_t = np.asarray(res.cam_t, np.float64)
         for i, k in enumerate(local):
             n = new_q[i] / np.linalg.norm(new_q[i])
+            if np.linalg.norm(new_t[i] - w.kf_t[k]) > 0.3:
+                continue
             w.kf_q[k], w.kf_t[k] = n, new_t[i]
         new_pts = np.asarray(res.pts, np.float64)
         for p, i in pt_slot.items():
