@@ -23,6 +23,12 @@ from ..utils import proto
 from . import gaussian
 
 
+# Host-side copies of map arrays, keyed by id(gmap.means). Populated at
+# construction so consumers (association bookkeeping) never pull device
+# buffers back through the slow/fragile host link. See host_view().
+_HOST_CACHE: dict = {}
+
+
 class GMMMap(NamedTuple):
     """Padded component arrays; `valid` masks real components."""
 
@@ -195,7 +201,16 @@ def from_arrays(
     axis_p = pad(evecs)
     axis_p[K:] = np.eye(3)
 
-    return GMMMap(
+    host = {
+        "means": pad(means).astype(np.float64),
+        "cov_inv": cov_inv_p.astype(np.float64),
+        "normal": axis_p[:, :, 0].astype(np.float64),
+        "sqrt_info": sqrt_p.astype(np.float64),
+        "is_degenerated": pad(is_deg, False),
+        "neighbors": neighbors,
+        "valid": valid,
+    }
+    gmap = GMMMap(
         means=jnp.asarray(pad(means), dtype=dtype),
         covs=jnp.asarray(covs_p, dtype=dtype),
         cov_inv=jnp.asarray(cov_inv_p, dtype=dtype),
@@ -209,6 +224,25 @@ def from_arrays(
         valid=jnp.asarray(valid),
         neighbors=jnp.asarray(neighbors),
     )
+    _HOST_CACHE[id(gmap.means)] = host
+    return gmap
+
+
+def host_view(gmap: GMMMap) -> dict:
+    """Host numpy copies of the map arrays (no device->host transfer
+    when the map was built by from_arrays in this process)."""
+    cached = _HOST_CACHE.get(id(gmap.means))
+    if cached is not None:
+        return cached
+    return {
+        "means": np.asarray(gmap.means, np.float64),
+        "cov_inv": np.asarray(gmap.cov_inv, np.float64),
+        "normal": np.asarray(gmap.normal, np.float64),
+        "sqrt_info": np.asarray(gmap.sqrt_info, np.float64),
+        "is_degenerated": np.asarray(gmap.is_degenerated),
+        "neighbors": np.asarray(gmap.neighbors),
+        "valid": np.asarray(gmap.valid),
+    }
 
 
 def load(path: str, pad_to: int | None = None, **kw) -> GMMMap:

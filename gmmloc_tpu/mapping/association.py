@@ -42,11 +42,13 @@ class GMMAssociator:
         self.cfg = cfg
         self.cam = cam
         self.gmap = gmap
-        self._means = np.asarray(gmap.means)
-        self._cov_inv = np.asarray(gmap.cov_inv)
-        self._normal = np.asarray(gmap.normal)
-        self._neighbors = np.asarray(gmap.neighbors)
-        self._deg = np.asarray(gmap.is_degenerated)
+        hv = mixture.host_view(gmap)
+        self._means = hv["means"]
+        self._cov_inv = hv["cov_inv"]
+        self._normal = hv["normal"]
+        self._sqrt_info = hv["sqrt_info"]
+        self._neighbors = hv["neighbors"]
+        self._deg = hv["is_degenerated"]
 
     # ------------------------------------------------------------------
 

@@ -616,7 +616,7 @@ class Localization:
                 else:
                     str_type[i] = local_ba.STR_NONDEG
                     str_mean[i] = self.assoc._means[c]
-                    str_sqrt[i] = np.asarray(self.assoc.gmap.sqrt_info[c])
+                    str_sqrt[i] = self.assoc._sqrt_info[c]
 
         obs_cam = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
