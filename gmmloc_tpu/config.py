@@ -146,6 +146,11 @@ class TrackingConfig:
     kf_map_ratio: float = 0.35
     kf_min_inliers: int = 15
     kf_queue_cap: int = 3
+    # Use the fused single-dispatch track-step megakernel (tracking/fused.py)
+    # instead of the multi-call host-orchestrated path. Same algorithm;
+    # the local-map snapshot is one frame stale (bounded staleness).
+    use_fused_track: bool = False
+    fused_local_map_cap: int = 4096
     # Constant-velocity model damping. 1.0 reproduces the reference
     # (gmmloc.cpp:288 delta * Tcw); <1.0 geometrically decays the
     # extrapolated velocity, bounding the pose random-walk gain during

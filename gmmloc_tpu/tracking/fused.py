@@ -37,6 +37,7 @@ class FusedTrackResult(NamedTuple):
     is_outlier: jax.Array     # (F,)
     num_inliers: jax.Array    # ()
     n_motion_matches: jax.Array  # ()
+    map_in_view: jax.Array    # (P,) bool — local points passing the gates
 
 
 @functools.partial(
@@ -165,4 +166,5 @@ def fused_track_step(
         is_outlier=res2.is_outlier,
         num_inliers=jnp.sum(inliers),
         n_motion_matches=n_motion,
+        map_in_view=ok,
     )

@@ -28,6 +28,7 @@ from ..features import matching
 from ..geometry import camera as cam_mod
 from ..mapping.map_state import MapState, _inverse, _quat_to_mat
 from ..solver import pose_solver
+from . import fused
 from .frame import Frame
 
 
@@ -66,6 +67,14 @@ class Tracker:
         self.local_keyframes = [frame.ref_kf]
 
     def track(self, frame: Frame) -> TrackStat:
+        if self.cfg.tracking.use_fused_track:
+            st = self._track_fused(frame)
+            if st is not None:
+                return st
+            # fall through to the classic path on fused failure
+        return self._track_classic(frame)
+
+    def _track_classic(self, frame: Frame) -> TrackStat:
         w = self.world
         self._update_last_frame()
         if not self.last_frame.is_keyframe:
@@ -434,3 +443,112 @@ class Tracker:
             if w.pt_valid[p] and w.pt_n_obs[p] < 1:
                 w.remove_point(p)
         self.temp_points.clear()
+
+    # ------------------------------------------------------------------
+    # fused single-dispatch path (tracking/fused.py)
+    # ------------------------------------------------------------------
+
+    def _track_fused(self, frame: Frame):
+        """One-device-call variant of track(). Returns TrackStat, or None
+        to request the classic fallback (e.g. too few inliers)."""
+        w = self.world
+        cam = self.cam
+        self._update_last_frame()
+        if not self.last_frame.is_keyframe:
+            self._create_temporal_points()
+        last = self.last_frame
+
+        q_has = (last.mappoint >= 0) & last.valid & ~last.is_outlier
+        sel = np.where(q_has)[0]
+        if len(sel) < 10:
+            return None
+        last_pts = np.zeros((last.feat_cap, 3), np.float32)
+        last_pts[sel] = w.pt_pos[last.mappoint[sel]]
+
+        # local-map snapshot (one frame stale); exclude points carried by
+        # the last frame so stage 2 cannot duplicate stage-1 matches
+        P = self.cfg.tracking.fused_local_map_cap
+        lp = self.local_points
+        lp = lp[w.pt_valid[lp]] if len(lp) else lp
+        if len(lp):
+            carried = set(last.mappoint[sel].tolist())
+            lp = np.array([p for p in lp if p not in carried], np.int64)
+        lp = lp[:P]
+        n_lp = len(lp)
+        map_pts = np.zeros((P, 3), np.float32)
+        map_desc = np.zeros((P, 32), np.uint8)
+        map_normal = np.zeros((P, 3), np.float32)
+        map_min = np.zeros(P, np.float32)
+        map_max = np.zeros(P, np.float32)
+        map_ok = np.zeros(P, bool)
+        if n_lp:
+            map_pts[:n_lp] = w.pt_pos[lp]
+            map_desc[:n_lp] = w.pt_desc[lp]
+            map_normal[:n_lp] = w.pt_normal[lp]
+            map_min[:n_lp] = w.pt_min_dist[lp]
+            map_max[:n_lp] = w.pt_max_dist[lp]
+            map_ok[:n_lp] = True
+
+        th_local = 5.0 if frame.idx < 2 else self.cfg.tracking.local_search_radius
+        res = fused.fused_track_step(
+            cam,
+            jnp.array(frame.q_cw, jnp.float32), jnp.array(frame.t_cw, jnp.float32),
+            jnp.array(last_pts),
+            jnp.array(last.desc), jnp.array(last.octave),
+            jnp.array(last.angle), jnp.array(last.ur, jnp.float32),
+            jnp.array(q_has),
+            jnp.array(frame.uv, jnp.float32), jnp.array(frame.ur, jnp.float32),
+            jnp.array(frame.desc), jnp.array(frame.octave),
+            jnp.array(frame.angle), jnp.array(frame.valid),
+            jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
+            jnp.array(map_pts), jnp.array(map_desc), jnp.array(map_normal),
+            jnp.array(map_min), jnp.array(map_max), jnp.array(map_ok),
+            jnp.array(self.scale_factors, jnp.float32),
+            float(self.log_sf), self.num_levels,
+            motion_radius=self.cfg.tracking.motion_search_radius,
+            local_radius=th_local,
+        )
+
+        num_inliers = int(res.num_inliers)
+        if num_inliers < self.cfg.tracking.min_matches_track:
+            frame.mappoint[:] = -1
+            return None  # classic path (incl. trackKeyFrame fallback)
+
+        fp = np.asarray(res.feat_point)
+        fl = np.asarray(res.feat_from_local)
+        frame.set_pose(np.asarray(res.q, np.float64), np.asarray(res.t, np.float64))
+        frame.is_outlier = np.array(res.is_outlier)
+        frame.mappoint[:] = -1
+        m_local = (fp >= 0) & fl
+        m_last = (fp >= 0) & ~fl
+        if n_lp:
+            frame.mappoint[m_local] = lp[np.clip(fp[m_local], 0, n_lp - 1)]
+        frame.mappoint[m_last] = last.mappoint[fp[m_last]]
+
+        # bookkeeping (visibility / found counters, mappoint.cpp stats)
+        if n_lp:
+            in_view = np.asarray(res.map_in_view)[:n_lp]
+            w.pt_num_visible[lp[in_view]] += 1
+            w.pt_last_visible_idx[lp[in_view]] = frame.idx
+        has = (frame.mappoint >= 0) & frame.valid
+        inl = has & ~frame.is_outlier
+        np.add.at(w.pt_num_found, frame.mappoint[inl], 1)
+        frame.mappoint[has & frame.is_outlier] = -1
+        frame.is_outlier[:] = False
+
+        self.stat = TrackStat(res=True)
+        self.stat.num_match_inliers = int(
+            (w.pt_n_obs[frame.mappoint[frame.mappoint >= 0]] > 0).sum()
+        )
+
+        # local map refresh for the NEXT frame + reference KF + ratio_map
+        self._update_local_map(frame)
+        near = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
+        num_total = int(near.sum())
+        selm = near & (frame.mappoint >= 0)
+        num_map = int((w.pt_n_obs[frame.mappoint[selm]] > 0).sum())
+        self.stat.ratio_map = num_map / max(1, num_total)
+
+        self._cleanup(frame)
+        self.last_frame = frame
+        return self.stat
