@@ -84,16 +84,41 @@ def render_view(
     depth = pc[..., 2]
     alive = gmap.valid & pass_viewcos & vis_proj & pass_scale
 
-    # STEP 3: pairwise occlusion suppression (keep nearest of overlap pair)
-    bh = gaussian.bhattacharyya_2d(
-        uv[:, None, :], cov2d[:, None], uv[None, :, :], cov2d[None, :]
-    )
-    overlap = (bh < occlusion_bh_thresh) & alive[:, None] & alive[None, :]
-    idx = jnp.arange(K)
-    nearer = (depth[None, :] < depth[:, None]) | (
-        (depth[None, :] == depth[:, None]) & (idx[None, :] < idx[:, None])
-    )
-    occluded = jnp.any(overlap & nearer & (idx[None, :] != idx[:, None]), axis=1)
+    # STEP 3: pairwise occlusion suppression (keep nearest of overlap pair).
+    # Blocked over rows so the (K, K) pass never materializes at once —
+    # at stress scale (10x components) the dense form would need tens of
+    # GB of intermediates.
+    BLOCK = 512
+    n_blocks = -(-K // BLOCK)
+    pad = n_blocks * BLOCK - K
+    uv_p = jnp.pad(uv, ((0, pad), (0, 0)))
+    cov_p = jnp.pad(cov2d, ((0, pad), (0, 0), (0, 0)))
+    depth_p = jnp.pad(depth, (0, pad))
+    alive_p = jnp.pad(alive, (0, pad))
+    idx_p = jnp.arange(n_blocks * BLOCK)
+
+    def block_body(b, occ):
+        s = b * BLOCK
+        uv_b = jax.lax.dynamic_slice_in_dim(uv_p, s, BLOCK)
+        cov_b = jax.lax.dynamic_slice_in_dim(cov_p, s, BLOCK)
+        d_b = jax.lax.dynamic_slice_in_dim(depth_p, s, BLOCK)
+        a_b = jax.lax.dynamic_slice_in_dim(alive_p, s, BLOCK)
+        i_b = jax.lax.dynamic_slice_in_dim(idx_p, s, BLOCK)
+        bh = gaussian.bhattacharyya_2d(
+            uv_b[:, None, :], cov_b[:, None], uv_p[None, :, :], cov_p[None, :]
+        )
+        overlap = (bh < occlusion_bh_thresh) & a_b[:, None] & alive_p[None, :]
+        nearer = (depth_p[None, :] < d_b[:, None]) | (
+            (depth_p[None, :] == d_b[:, None]) & (idx_p[None, :] < i_b[:, None])
+        )
+        occ_b = jnp.any(
+            overlap & nearer & (idx_p[None, :] != i_b[:, None]), axis=1
+        )
+        return jax.lax.dynamic_update_slice_in_dim(occ, occ_b, s, 0)
+
+    occluded = jax.lax.fori_loop(
+        0, n_blocks, block_body, jnp.zeros(n_blocks * BLOCK, bool)
+    )[:K]
     visible = alive & ~occluded
 
     cov2d_inv, _ = gaussian.inv2x2(cov2d)

@@ -31,11 +31,8 @@ def densify(means, covs, factor: int, seed: int = 0):
     out_c = [covs]
     evals, evecs = np.linalg.eigh(covs)
     for _ in range(factor - 1):
-        jitter = (
-            rng.standard_normal(means.shape)
-            * np.sqrt(np.clip(evals, 0, None))
-            @ np.transpose(evecs, (0, 2, 1))
-        )
+        z = rng.standard_normal(means.shape) * np.sqrt(np.clip(evals, 0, None))
+        jitter = np.einsum("kij,kj->ki", evecs, z)
         out_m.append(means + jitter * 0.5)
         out_c.append(covs * rng.uniform(0.5, 1.5, (len(covs), 1, 1)))
     return np.concatenate(out_m), np.concatenate(out_c)
