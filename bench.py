@@ -21,23 +21,44 @@ import time
 import numpy as np
 
 
-def timeit(fn, warmup=2, iters=20):
+def _sync(r):
+    """Force completion of all device work feeding r.
+
+    block_until_ready on the development TPU tunnel acks at enqueue, not
+    completion — the only reliable barrier is a reduction whose scalar is
+    transferred to the host.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(r):
+        if hasattr(leaf, "dtype"):
+            total += float(_np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+    return total
+
+
+def timeit(fn, warmup=2, iters=20, iters_lo=None):
+    """Two-point measurement: slope between a short and a long run removes
+    the fixed sync round-trip (~25ms through the tunnel)."""
+    iters_lo = max(2, iters // 5) if iters_lo is None else iters_lo
     for _ in range(warmup):
         r = fn()
-    _block(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    _block(r)
-    return (time.perf_counter() - t0) / iters
+    _sync(r)
 
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        _sync(r)
+        return time.perf_counter() - t0
 
-def _block(r):
-    import jax
-
-    for leaf in jax.tree_util.tree_leaves(r):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+    t_lo = run(iters_lo)
+    t_hi = run(iters)
+    per = (t_hi - t_lo) / max(1, iters - iters_lo)
+    # guard against noise producing non-positive slopes
+    return max(per, t_hi / iters * 0.05, 1e-7)
 
 
 def main():
@@ -114,21 +135,20 @@ def main():
     detail["search_corr_ms"] = t_assoc * 1e3
 
     # ---- per-keyframe local BA (production window shape) ---------------
-    L, C, P, O = 16, 48, 8192, 24576
+    L, C, P, MO = 16, 48, 8192, 12
     cam_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (C, 1))
     cam_t = np.zeros((C, 3), np.float32)
     cam_t[:, 0] = np.arange(C) * 0.05
     pts = np.stack(
         [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(3, 9, P)], -1
     ).astype(np.float32)
-    obs_cam = rng.integers(0, C, O).astype(np.int32)
-    obs_pt = rng.integers(0, P, O).astype(np.int32)
-    pc = pts[obs_pt] + cam_t[obs_cam]
+    obs_cam = rng.integers(0, C, (P, MO)).astype(np.int32)
+    pc = pts[:, None, :] + cam_t[obs_cam]
     uvr = np.stack(
         [
-            cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
-            cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
-            cam.fx * pc[:, 0] / pc[:, 2] + cam.cx - cam.bf / pc[:, 2],
+            cam.fx * pc[..., 0] / pc[..., 2] + cam.cx,
+            cam.fy * pc[..., 1] / pc[..., 2] + cam.cy,
+            cam.fx * pc[..., 0] / pc[..., 2] + cam.cx - cam.bf / pc[..., 2],
         ],
         -1,
     ).astype(np.float32)
@@ -136,9 +156,10 @@ def main():
         cam_q=jnp.array(cam_q), cam_t=jnp.array(cam_t),
         cam_valid=jnp.ones(C, bool),
         pts=jnp.array(pts), pt_valid=jnp.ones(P, bool),
-        obs_cam=jnp.array(obs_cam), obs_pt=jnp.array(obs_pt),
-        obs_uvr=jnp.array(uvr), obs_stereo=jnp.ones(O, bool),
-        obs_sigma2_inv=jnp.ones(O, jnp.float32), obs_valid=jnp.ones(O, bool),
+        obs_cam=jnp.array(obs_cam),
+        obs_uvr=jnp.array(uvr), obs_stereo=jnp.ones((P, MO), bool),
+        obs_sigma2_inv=jnp.ones((P, MO), jnp.float32),
+        obs_valid=jnp.ones((P, MO), bool),
         str_type=jnp.full(P, local_ba.STR_DEG, jnp.int32),
         str_normal=jnp.tile(jnp.array([0.0, 0, 1], jnp.float32), (P, 1)),
         str_mean=jnp.array(pts),

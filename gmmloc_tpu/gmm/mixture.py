@@ -158,6 +158,7 @@ def from_arrays(
     degenerate_eig_thresh: float = 1e-4,
     salient_eig_thresh: float = 0.2,
     dtype=jnp.float32,
+    build_neighbors: bool = True,
 ) -> GMMMap:
     """Build a GMMMap from raw (K,3)/(K,3,3) arrays.
 
@@ -185,11 +186,12 @@ def from_arrays(
         out[:K] = a
         return out
 
-    neighbors_core = build_neighbor_graph(
-        means, covs, det, np.ones(K, dtype=bool), neighbor_dist_thresh, neighbor_cap
-    )
     neighbors = np.full((cap, neighbor_cap), -1, dtype=np.int32)
-    neighbors[:K] = neighbors_core
+    if build_neighbors:
+        neighbors[:K] = build_neighbor_graph(
+            means, covs, det, np.ones(K, dtype=bool),
+            neighbor_dist_thresh, neighbor_cap,
+        )
 
     # pad covariances with identity so batched 3x3 math stays finite
     covs_p = pad(covs)

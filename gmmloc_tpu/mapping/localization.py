@@ -618,32 +618,33 @@ class Localization:
                     str_mean[i] = self.assoc._means[c]
                     str_sqrt[i] = self.assoc._sqrt_info[c]
 
-        obs_cam = np.zeros(O, np.int32)
-        obs_pt = np.zeros(O, np.int32)
-        obs_uvr = np.zeros((O, 3), np.float32)
-        obs_st = np.zeros(O, bool)
-        obs_s2i = np.ones(O, np.float32)
-        obs_valid = np.zeros(O, bool)
-        obs_ref = []  # (point_id, kf_id) for write-back of erasures
-        oi = 0
+        # per-point observation tables (the solver is gather/one-hot based —
+        # TPU scatters serialize; see solver/local_ba.py)
+        MO = caps.max_obs_per_point
+        obs_cam = np.full((P, MO), -1, np.int32)
+        obs_uvr = np.zeros((P, MO, 3), np.float32)
+        obs_st = np.zeros((P, MO), bool)
+        obs_s2i = np.ones((P, MO), np.float32)
+        obs_valid = np.zeros((P, MO), bool)
+        obs_ref = {}  # (pt_slot, obs_slot) -> (point_id, kf_id)
         sigma2_inv = w.pyr["sigma2_inv"]
         obs_per_cam = np.zeros(C, np.int64)
         for p, i in pt_slot.items():
             kfs, feats = w.point_observations(p)
+            oi = 0
             for k, ft in zip(kfs, feats):
-                if k not in slot_of or oi >= O:
+                if k not in slot_of or oi >= MO:
                     continue
-                obs_cam[oi] = slot_of[k]
-                obs_pt[oi] = i
-                obs_uvr[oi] = [
+                obs_cam[i, oi] = slot_of[k]
+                obs_uvr[i, oi] = [
                     w.kf_feat_uv[k, ft, 0],
                     w.kf_feat_uv[k, ft, 1],
                     w.kf_feat_ur[k, ft],
                 ]
-                obs_st[oi] = w.kf_feat_ur[k, ft] >= 0
-                obs_s2i[oi] = sigma2_inv[w.kf_feat_octave[k, ft]]
-                obs_valid[oi] = True
-                obs_ref.append((p, int(k)))
+                obs_st[i, oi] = w.kf_feat_ur[k, ft] >= 0
+                obs_s2i[i, oi] = sigma2_inv[w.kf_feat_octave[k, ft]]
+                obs_valid[i, oi] = True
+                obs_ref[(i, oi)] = (p, int(k))
                 obs_per_cam[slot_of[k]] += 1
                 oi += 1
 
@@ -666,7 +667,6 @@ class Localization:
             pts=jnp.array(pts_arr, jnp.float32),
             pt_valid=jnp.array(pt_valid),
             obs_cam=jnp.array(obs_cam),
-            obs_pt=jnp.array(obs_pt),
             obs_uvr=jnp.array(obs_uvr),
             obs_stereo=jnp.array(obs_st),
             obs_sigma2_inv=jnp.array(obs_s2i),
@@ -718,9 +718,8 @@ class Localization:
 
         # erase outlier observations (:857-894)
         bad = np.asarray(res.obs_bad)
-        for o in np.where(bad[: len(obs_ref)])[0]:
-            p, k = obs_ref[o]
-            if w.pt_valid[p]:
+        for (i, oi), (p, k) in obs_ref.items():
+            if bad[i, oi] and w.pt_valid[p]:
                 if w.remove_observation(p, k):
                     w.remove_point(p)
         w.update_normal_and_depth_batch(np.array(list(pt_slot.keys())))

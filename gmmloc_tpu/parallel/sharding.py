@@ -92,12 +92,11 @@ def shard_ba_problem(prob: local_ba.BAProblem, mesh: Mesh, axis: str = "shard") 
         cam_valid=put(prob.cam_valid, rep),
         pts=put(prob.pts, P(axis, None)),
         pt_valid=put(prob.pt_valid, sh),
-        obs_cam=put(prob.obs_cam, sh),
-        obs_pt=put(prob.obs_pt, sh),
-        obs_uvr=put(prob.obs_uvr, P(axis, None)),
-        obs_stereo=put(prob.obs_stereo, sh),
-        obs_sigma2_inv=put(prob.obs_sigma2_inv, sh),
-        obs_valid=put(prob.obs_valid, sh),
+        obs_cam=put(prob.obs_cam, P(axis, None)),
+        obs_uvr=put(prob.obs_uvr, P(axis, None, None)),
+        obs_stereo=put(prob.obs_stereo, P(axis, None)),
+        obs_sigma2_inv=put(prob.obs_sigma2_inv, P(axis, None)),
+        obs_valid=put(prob.obs_valid, P(axis, None)),
         str_type=put(prob.str_type, sh),
         str_normal=put(prob.str_normal, P(axis, None)),
         str_mean=put(prob.str_mean, P(axis, None)),

@@ -13,10 +13,12 @@ LM schedule:
                     negative depth), drop Huber (:797-825)
   stage 3 (40 it)
 
-Each LM iteration eliminates the landmark blocks by Schur complement:
-the reduced (6L x 6L) camera system is built with dense MXU-shaped
-einsums over a (P, L) block table and solved directly — the TPU
-counterpart of g2o's BlockSolver_6_3 with marginalized points.
+Data layout: observations live in a PER-POINT table (P, MO) — gathers +
+dense einsum reductions only. TPU scatters serialize (the earlier COO
+formulation spent ~15 ms/iteration in scatter-adds); with per-point
+tables every reduction is a gather + one-hot einsum on the MXU. Landmark
+blocks are eliminated per point (dense 3x3), the reduced (6L x 6L)
+camera system is assembled with einsums and solved directly.
 """
 
 from __future__ import annotations
@@ -42,19 +44,18 @@ STR_NONDEG = 2   # full component -> 3D sqrt-info whitened edge
 
 class BAProblem(NamedTuple):
     """Fixed-capacity local-BA problem. C camera slots (first n_free are
-    optimizable), P point slots, O observation slots."""
+    optimizable), P point slots, MO observation slots per point."""
 
     cam_q: jax.Array          # (C,4) T_cw rotations
     cam_t: jax.Array          # (C,3)
     cam_valid: jax.Array      # (C,) bool
     pts: jax.Array            # (P,3) world points
     pt_valid: jax.Array       # (P,) bool
-    obs_cam: jax.Array        # (O,) int32
-    obs_pt: jax.Array         # (O,) int32
-    obs_uvr: jax.Array        # (O,3)
-    obs_stereo: jax.Array     # (O,) bool
-    obs_sigma2_inv: jax.Array  # (O,)
-    obs_valid: jax.Array      # (O,) bool
+    obs_cam: jax.Array        # (P,MO) int32, -1 = empty slot
+    obs_uvr: jax.Array        # (P,MO,3)
+    obs_stereo: jax.Array     # (P,MO) bool
+    obs_sigma2_inv: jax.Array  # (P,MO)
+    obs_valid: jax.Array      # (P,MO) bool
     str_type: jax.Array       # (P,) int32 STR_*
     str_normal: jax.Array     # (P,3) dominant normal (deg)
     str_mean: jax.Array       # (P,3) component mean
@@ -68,41 +69,38 @@ class BAResult(NamedTuple):
     cam_q: jax.Array
     cam_t: jax.Array
     pts: jax.Array
-    obs_bad: jax.Array        # (O,) bool — erase these observations
+    obs_bad: jax.Array        # (P,MO) bool — erase these observations
     str_drop: jax.Array       # (P,) bool — downgrade GMM association
-    obs_chi2: jax.Array       # (O,)
+    obs_chi2: jax.Array       # (P,MO)
     cost: jax.Array           # () final total cost
 
 
 def _inv3(m):
     det = jnp.linalg.det(m)
-    det_safe = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
-    return jnp.linalg.inv(
-        jnp.where(jnp.abs(det)[..., None, None] < 1e-20, jnp.eye(3, dtype=m.dtype), m)
-    ), det
+    bad = jnp.abs(det)[..., None, None] < 1e-20
+    safe = jnp.where(bad, jnp.eye(3, dtype=m.dtype), m)
+    return jnp.linalg.inv(safe), det
 
 
 def _obs_terms(cam, prob: BAProblem, cam_q, cam_t, pts):
-    """Residual/Jacobian pass over all observation edges."""
-    q = cam_q[prob.obs_cam]
-    t = cam_t[prob.obs_cam]
-    x = pts[prob.obs_pt]
+    """Residual/Jacobian pass over the (P, MO) observation table."""
+    ci = jnp.clip(prob.obs_cam, 0)
+    q = cam_q[ci]                        # (P,MO,4)
+    t = cam_t[ci]
+    x = pts[:, None, :]                  # (P,1,3) broadcast over MO
     r, pc, depth_ok = factors.reproj_residual(
-        cam, q, t, x, prob.obs_uvr, prob.obs_stereo
+        cam, q, t, jnp.broadcast_to(x, prob.obs_uvr.shape), prob.obs_uvr,
+        prob.obs_stereo,
     )
-    Jc = factors.stereo_proj_jac_pose(cam, pc, prob.obs_stereo)    # (O,3,6)
-    Jp = factors.stereo_proj_jac_point(cam, q, pc, prob.obs_stereo)  # (O,3,3)
+    Jc = factors.stereo_proj_jac_pose(cam, pc, prob.obs_stereo)    # (P,MO,3,6)
+    Jp = factors.stereo_proj_jac_point(cam, q, pc, prob.obs_stereo)  # (P,MO,3,3)
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_sigma2_inv
     return r, Jc, Jp, chi2, depth_ok
 
 
 def _gmm_terms(prob: BAProblem, pts, ba_lambda2, active_str):
-    """Structure-factor contributions to the point blocks.
-
-    Deg:    H += l2 n n^T, b += l2 (n^T(x-m)) n     (info = ba_lambda2*I1)
-    Nondeg: r = L^T (x-m); J = L^T; info = I3        (:676)
-            H += L L^T (= cov_inv), b += L (L^T (x-m))
-    """
+    """Structure-factor contributions to the point blocks (see reference
+    edge defs, localization_opt.cpp:650-683)."""
     is_deg = (prob.str_type == STR_DEG) & active_str
     is_nd = (prob.str_type == STR_NONDEG) & active_str
 
@@ -162,7 +160,7 @@ def solve_local_ba(
     iters3: int = 40,
 ) -> BAResult:
     L = n_free
-    P = prob.pts.shape[0]
+    P, MO = prob.obs_cam.shape
     dtype = prob.pts.dtype
     huber_delta = jnp.where(
         prob.obs_stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO)
@@ -170,12 +168,18 @@ def solve_local_ba(
     chi2_th = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO).astype(dtype)
 
     free_mask = (jnp.arange(prob.cam_q.shape[0]) < L) & prob.cam_valid
-    obs_on_free = (prob.obs_cam < L) & free_mask[jnp.clip(prob.obs_cam, 0, L - 1)]
+    obs_exists = (prob.obs_cam >= 0) & prob.pt_valid[:, None]
+    obs_on_free = obs_exists & (prob.obs_cam < L) & free_mask[
+        jnp.clip(prob.obs_cam, 0, L - 1)
+    ]
+    # one-hot over free camera slots: (P, MO, L) — gathered reductions only
+    onehot = (
+        (prob.obs_cam[..., None] == jnp.arange(L)[None, None, :])
+        & obs_on_free[..., None]
+    ).astype(dtype)
 
     def total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber):
         r, _, _, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
-        hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
-        # Huber cost: rho(s) = s for s<=d^2 else 2 d sqrt(s) - d^2
         s = chi2
         d = huber_delta
         rho = jnp.where(
@@ -191,46 +195,32 @@ def solve_local_ba(
     def lm_iteration(cam_q, cam_t, pts, lam, active_obs, active_str, use_huber):
         r, Jc, Jp, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
         hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
-        w = prob.obs_sigma2_inv * hw * active_obs.astype(dtype)
+        w = prob.obs_sigma2_inv * hw * active_obs.astype(dtype)   # (P,MO)
 
-        # point blocks
-        H_pp = jax.ops.segment_sum(
-            jnp.einsum("oij,o,oik->ojk", Jp, w, Jp), prob.obs_pt, num_segments=P
-        )
-        b_p = jax.ops.segment_sum(
-            jnp.einsum("oij,o,oi->oj", Jp, w, r), prob.obs_pt, num_segments=P
-        )
+        # point blocks (dense per-point reductions over MO)
+        H_pp = jnp.einsum("pmai,pm,pmaj->pij", Jp, w, Jp)
+        b_p = jnp.einsum("pmai,pm,pma->pi", Jp, w, r)
         H_str, b_str, _ = _gmm_terms(prob, pts, ba_lambda2, active_str)
         H_pp = H_pp + jnp.where(prob.pt_valid[:, None, None], H_str, 0.0)
         b_p = b_p + jnp.where(prob.pt_valid[:, None], b_str, 0.0)
 
-        # camera blocks (free cameras only)
-        cam_idx = jnp.clip(prob.obs_cam, 0, L - 1)
-        w_free = w * obs_on_free.astype(dtype)
-        H_cc = jax.ops.segment_sum(
-            jnp.einsum("oij,o,oik->ojk", Jc, w_free, Jc), cam_idx, num_segments=L
-        )
-        b_c = jax.ops.segment_sum(
-            jnp.einsum("oij,o,oi->oj", Jc, w_free, r), cam_idx, num_segments=L
-        )
+        # camera blocks via one-hot einsum (no scatters)
+        H_cc = jnp.einsum("pmai,pm,pmaj,pml->lij", Jc, w, Jc, onehot)
+        b_c = jnp.einsum("pmai,pm,pma,pml->li", Jc, w, r, onehot)
         H_pri, b_pri, _ = _prior_terms(
             prob, cam_q, cam_t, prior_rot_info, prior_trans_info
         )
         H_cc = H_cc.at[0].add(H_pri)
         b_c = b_c.at[0].add(b_pri)
 
-        # camera-point coupling blocks U[p,l] = Jc^T W Jp
-        U = jnp.zeros((P, L, 6, 3), dtype=dtype)
-        U = U.at[prob.obs_pt, cam_idx].add(
-            jnp.einsum("oij,o,oik->ojk", Jc, w_free, Jp)
-        )
+        # camera-point coupling U[p,l] = sum_m Jc^T W Jp
+        U = jnp.einsum("pmai,pm,pmaj,pml->plij", Jc, w, Jp, onehot)  # (P,L,6,3)
 
-        # LM damping (multiplicative on block diagonals)
+        # LM damping (multiplicative block-diagonal)
         eyep = jnp.eye(3, dtype=dtype)
         H_pp_d = H_pp + lam * (
             jnp.einsum("pii->p", H_pp)[:, None, None] / 3.0 + 1e-9
         ) * eyep
-        # guard invalid points
         H_pp_d = jnp.where(
             prob.pt_valid[:, None, None], H_pp_d, jnp.eye(3, dtype=dtype)
         )
@@ -241,13 +231,12 @@ def solve_local_ba(
             jnp.einsum("lii->l", H_cc)[:, None, None] / 6.0 + 1e-9
         ) * eyec
 
-        # Schur reduction
+        # Schur reduction (MXU einsums over P)
         T = jnp.einsum("plij,pjk->plik", U, Hpp_inv)              # (P,L,6,3)
-        S_red = -jnp.einsum("plij,pmkj->lmik", T, U)              # (P sum)
+        S_red = -jnp.einsum("plij,pmkj->lmik", T, U)
         S_red = S_red.at[jnp.arange(L), jnp.arange(L)].add(H_cc_d)
         b_red = b_c - jnp.einsum("plij,pj->li", T, b_p)           # (L,6)
 
-        # mask invalid free-camera slots -> identity rows
         fm = free_mask[:L]
         S_flat = S_red.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
         diag_fix = jnp.repeat(~fm, 6)
@@ -261,17 +250,15 @@ def solve_local_ba(
         dc = -jnp.linalg.solve(S_flat, b_flat).reshape(L, 6)
         dc = jnp.where(fm[:, None], dc, 0.0)
 
-        # back-substitute points
+        # back-substitute points (gathers only)
         rhs_p = b_p + jnp.einsum("plij,li->pj", U, dc)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, rhs_p)
         dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
 
-        # apply
         new_q_free, new_t_free = se3.boxplus(cam_q[:L], cam_t[:L], dc)
         new_q = jnp.concatenate([new_q_free, cam_q[L:]], axis=0)
         new_t = jnp.concatenate([new_t_free, cam_t[L:]], axis=0)
-        new_pts = pts + dp
-        return new_q, new_t, new_pts
+        return new_q, new_t, pts + dp
 
     def run_stage(state, active_obs, active_str, use_huber, iters):
         def body(_, carry):
@@ -288,15 +275,18 @@ def solve_local_ba(
             cost = jnp.minimum(new_cost, cost)
             return cam_q, cam_t, pts, lam, cost
 
-        cam_q, cam_t, pts, lam0, cost0 = state
+        cam_q, cam_t, pts, lam0, _ = state
         cost0 = total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber)
         return jax.lax.fori_loop(0, iters, body, (cam_q, cam_t, pts, lam0, cost0))
 
     use_huber = jnp.array(True)
-    active_obs = prob.obs_valid
+    active_obs = prob.obs_valid & obs_exists
     active_str = prob.pt_valid & (prob.str_type != STR_NONE)
 
-    state = (prob.cam_q, prob.cam_t, prob.pts, jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype))
+    state = (
+        prob.cam_q, prob.cam_t, prob.pts,
+        jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype),
+    )
     state = run_stage(state, active_obs, active_str, use_huber, iters1)
 
     # stage-1 -> stage-2 gate: drop bad degenerate structure edges (:773-789)
@@ -318,10 +308,9 @@ def solve_local_ba(
     state = run_stage(state, active_obs, active_str, use_huber, iters3)
     cam_q_f, cam_t_f, pts_f = state[0], state[1], state[2]
 
-    # final classification (:837-894): which observations to erase, which
-    # GMM associations to downgrade
+    # final classification (:837-894)
     _, _, _, chi2_f, depth_ok_f = _obs_terms(cam, prob, cam_q_f, cam_t_f, pts_f)
-    obs_bad = prob.obs_valid & ((chi2_f > chi2_th) | ~depth_ok_f)
+    obs_bad = prob.obs_valid & obs_exists & ((chi2_f > chi2_th) | ~depth_ok_f)
     rs_f = factors.pt2plane_residual(pts_f, prob.str_mean, prob.str_normal)
     chi2_deg_f = ba_lambda2 * rs_f * rs_f
     str_drop = (

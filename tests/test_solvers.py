@@ -213,41 +213,51 @@ def build_ba_problem(rng, n_cams=4, n_fixed=1, n_pts=120, outlier_obs=0):
     )
     pts_gt = jnp.array(pts_gt)
 
-    obs_cam, obs_pt, obs_uvr, obs_st = [], [], [], []
+    MO = 8
+    obs_cam = np.full((P, MO), -1, np.int32)
+    obs_uvr = np.zeros((P, MO, 3))
+    obs_st = np.zeros((P, MO), bool)
+    obs_valid = np.zeros((P, MO), bool)
+    slot = np.zeros(P, np.int32)
+    coords = []
     for c in range(C):
         pc = se3.apply(cam_q_gt[c], cam_t_gt[c], pts_gt)
         uvr, vis = cam_mod.project_stereo(CAM, pc)
+        uvr = np.asarray(uvr)
         for p in np.where(np.asarray(vis))[0]:
-            obs_cam.append(c)
-            obs_pt.append(int(p))
-            obs_uvr.append(np.asarray(uvr[p]))
-            obs_st.append(p % 2 == 0)
-    O = len(obs_cam)
-    obs_uvr = np.array(obs_uvr)
-    obs_uvr[:, :2] += rng.standard_normal((O, 2)) * 0.3
+            s = slot[p]
+            if s >= MO:
+                continue
+            obs_cam[p, s] = c
+            obs_uvr[p, s] = uvr[p]
+            obs_st[p, s] = p % 2 == 0
+            obs_valid[p, s] = True
+            coords.append((p, s))
+            slot[p] += 1
+    O = len(coords)
+    noise = rng.standard_normal((P, MO, 2)) * 0.3
+    obs_uvr[:, :, :2] += noise * obs_valid[:, :, None]
     if outlier_obs:
-        bad = rng.choice(O, size=outlier_obs, replace=False)
-        obs_uvr[bad, :2] += 50.0
+        bad_sel = rng.choice(O, size=outlier_obs, replace=False)
+        bad = []
+        for bi in bad_sel:
+            p, s = coords[bi]
+            obs_uvr[p, s, :2] += 50.0
+            bad.append((p, s))
     else:
-        bad = np.array([], dtype=int)
+        bad = []
 
-    # pad obs
-    O_cap = 1024
-    pad = O_cap - O
     prob = local_ba.BAProblem(
         cam_q=cam_q_gt,
         cam_t=cam_t_gt,
         cam_valid=jnp.ones(C, bool),
         pts=pts_gt,
         pt_valid=jnp.ones(P, bool),
-        obs_cam=jnp.array(obs_cam + [0] * pad, dtype=jnp.int32),
-        obs_pt=jnp.array(obs_pt + [0] * pad, dtype=jnp.int32),
-        obs_uvr=jnp.array(
-            np.concatenate([obs_uvr, np.zeros((pad, 3))]), dtype=jnp.float32
-        ),
-        obs_stereo=jnp.array(obs_st + [False] * pad),
-        obs_sigma2_inv=jnp.ones(O_cap),
-        obs_valid=jnp.array([True] * O + [False] * pad),
+        obs_cam=jnp.array(obs_cam),
+        obs_uvr=jnp.array(obs_uvr, jnp.float32),
+        obs_stereo=jnp.array(obs_st),
+        obs_sigma2_inv=jnp.ones((P, MO)),
+        obs_valid=jnp.array(obs_valid),
         str_type=jnp.full(P, local_ba.STR_DEG, jnp.int32),
         str_normal=jnp.tile(jnp.array([0.0, 0.0, 1.0]), (P, 1)),
         str_mean=jnp.tile(jnp.array([0.0, 0.0, 6.0]), (P, 1)),
@@ -288,10 +298,11 @@ def test_local_ba_recovers_perturbation(rng):
 def test_local_ba_flags_outlier_obs(rng):
     prob, q_gt, t_gt, pts_gt, bad, O = build_ba_problem(rng, outlier_obs=10)
     res = local_ba.solve_local_ba(CAM, prob, n_free=4, iters3=10)
-    flagged = np.where(np.asarray(res.obs_bad))[0]
-    assert set(bad.tolist()) <= set(flagged.tolist())
+    flagged = np.asarray(res.obs_bad)
+    for (p, s) in bad:
+        assert flagged[p, s], (p, s)
     # healthy observations largely kept
-    assert len(flagged) < 0.1 * O
+    assert flagged.sum() < 0.1 * O
 
 
 def test_local_ba_drops_wrong_plane_assoc(rng):
