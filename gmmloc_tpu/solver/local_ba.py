@@ -76,10 +76,28 @@ class BAResult(NamedTuple):
 
 
 def _inv3(m):
-    det = jnp.linalg.det(m)
-    bad = jnp.abs(det)[..., None, None] < 1e-20
-    safe = jnp.where(bad, jnp.eye(3, dtype=m.dtype), m)
-    return jnp.linalg.inv(safe), det
+    """Closed-form 3x3 inverse (adjugate) — batched LAPACK inv/det lower to
+    serialized loops on TPU and dominated the BA iteration time."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    det = a * A + d * B + g * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], -1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    det_safe = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    inv = adj / det_safe[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=m.dtype), m.shape)
+    inv = jnp.where(jnp.abs(det)[..., None, None] < 1e-20, eye, inv)
+    return inv, det
 
 
 def _obs_terms(cam, prob: BAProblem, cam_q, cam_t, pts):
@@ -261,23 +279,36 @@ def solve_local_ba(
         return new_q, new_t, pts + dp
 
     def run_stage(state, active_obs, active_str, use_huber, iters):
-        def body(_, carry):
-            cam_q, cam_t, pts, lam, cost = carry
+        # while_loop with convergence termination — g2o's optimize(n) also
+        # stops early when the chi2 gain becomes negligible, and most of
+        # the 40-iteration budget is never used.
+        def cond(carry):
+            cam_q, cam_t, pts, lam, cost, it, done = carry
+            return (it < iters) & ~done
+
+        def body(carry):
+            cam_q, cam_t, pts, lam, cost, it, done = carry
             nq, nt, npts = lm_iteration(
                 cam_q, cam_t, pts, lam, active_obs, active_str, use_huber
             )
             new_cost = total_cost(nq, nt, npts, active_obs, active_str, use_huber)
             accept = new_cost < cost
+            gain = (cost - new_cost) / jnp.maximum(cost, 1e-12)
+            done = (accept & (gain < 1e-6)) | (lam > 1e4)
             cam_q = jnp.where(accept, nq, cam_q)
             cam_t = jnp.where(accept, nt, cam_t)
             pts = jnp.where(accept, npts, pts)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
             cost = jnp.minimum(new_cost, cost)
-            return cam_q, cam_t, pts, lam, cost
+            return cam_q, cam_t, pts, lam, cost, it + 1, done
 
         cam_q, cam_t, pts, lam0, _ = state
         cost0 = total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber)
-        return jax.lax.fori_loop(0, iters, body, (cam_q, cam_t, pts, lam0, cost0))
+        out = jax.lax.while_loop(
+            cond, body,
+            (cam_q, cam_t, pts, lam0, cost0, jnp.array(0), jnp.array(False)),
+        )
+        return out[:5]
 
     use_huber = jnp.array(True)
     active_obs = prob.obs_valid & obs_exists
