@@ -168,8 +168,8 @@ class CapacityConfig:
     max_obs_per_point: int = 24
     local_ba_kfs: int = 32       # local (free) keyframes in one BA window
     fixed_ba_kfs: int = 64       # fixed observer keyframes
-    local_ba_points: int = 16384
-    local_ba_obs: int = 49152
+    local_ba_points: int = 8192
+    ba_obs_per_point: int = 12   # per-point obs slots inside one BA window
     gmm_components_pad: int = 5120   # padded K (v1:3299, v2:5096 -> 5120)
 
 

@@ -581,7 +581,6 @@ class Localization:
         L = caps.local_ba_kfs
         C = L + caps.fixed_ba_kfs
         P = caps.local_ba_points
-        O = caps.local_ba_obs
 
         cam_q = np.tile(np.array([1.0, 0, 0, 0]), (C, 1))
         cam_t = np.zeros((C, 3))
@@ -620,7 +619,7 @@ class Localization:
 
         # per-point observation tables (the solver is gather/one-hot based —
         # TPU scatters serialize; see solver/local_ba.py)
-        MO = caps.max_obs_per_point
+        MO = caps.ba_obs_per_point
         obs_cam = np.full((P, MO), -1, np.int32)
         obs_uvr = np.zeros((P, MO, 3), np.float32)
         obs_st = np.zeros((P, MO), bool)
