@@ -192,6 +192,9 @@ class SystemConfig:
     rect_config: str = ""
     online: bool = False
     verbose: bool = False
+    # capability extensions (absent in the reference)
+    enable_relocalization: bool = True   # used when a vocabulary is provided
+    enable_loop_closing: bool = False    # pose-graph loop closure
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

@@ -36,10 +36,15 @@ class GMMLocSystem:
         self.tracker = Tracker(cfg, self.cam, self.world)
         self.localizer = Localization(cfg, self.cam, self.world, self.assoc)
         self.relocalizer = None
-        if vocabulary is not None:
+        self.loop_closer = None
+        if vocabulary is not None and cfg.enable_relocalization:
             from ..tracking.relocalize import Relocalizer
 
             self.relocalizer = Relocalizer(cfg, self.cam, self.world, vocabulary)
+            if cfg.enable_loop_closing:
+                from ..mapping.loop_closing import LoopCloser
+
+                self.loop_closer = LoopCloser(cfg, self.world, self.relocalizer.db)
         self.online = None
         if cfg.online:
             from ..mapping.online import OnlineLocalization
@@ -206,6 +211,8 @@ class GMMLocSystem:
                 else:
                     self.localizer.insert_keyframe(kf)
                     self.localizer.spin_once()
+                if self.loop_closer is not None and self.world.kf_valid[kf]:
+                    self.loop_closer.close(kf)
             self.n_tracked += 1
 
         if frame.ref_kf < 0:
