@@ -22,14 +22,23 @@ TH_HIGH = 100
 HISTO_LENGTH = 30
 
 
+def _hamming_matrix_xla(desc_a, desc_b):
+    x = jax.lax.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
 def hamming_matrix(desc_a, desc_b):
     """(N,32)x(M,32) uint8 descriptors -> (N,M) int32 Hamming distances.
 
-    Replaces the bit-hack popcount loop (orb_matcher.cpp:580-594) with a
-    vectorized XOR + population_count.
+    Replaces the bit-hack popcount loop (orb_matcher.cpp:580-594). On TPU
+    the tiled Pallas kernel (features/pallas_kernels.py) keeps the XOR
+    byte tensor in VMEM; elsewhere the XLA formulation is used.
     """
-    x = jax.lax.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    from . import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        return pallas_kernels.hamming_matrix_pallas(desc_a, desc_b)
+    return _hamming_matrix_xla(desc_a, desc_b)
 
 
 def rotation_consistency_mask(angle_a, angle_b, matched, bins: int = HISTO_LENGTH):

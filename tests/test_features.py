@@ -112,3 +112,23 @@ def test_stereo_depth_recovery(rng):
     assert len(got) > 60
     med = np.median(got)
     assert abs(med - z_true) < 0.3, med
+
+
+def test_pallas_hamming_matches_xla(rng):
+    """The Pallas TPU kernel must agree bit-for-bit with the XLA path.
+    (On CPU the Pallas path is skipped — dispatch check only.)"""
+    import jax
+
+    from gmmloc_tpu.features import matching, pallas_kernels
+
+    a = jnp.array(rng.integers(0, 256, (77, 32), dtype=np.uint8))
+    b = jnp.array(rng.integers(0, 256, (133, 32), dtype=np.uint8))
+    ref = np.asarray(matching._hamming_matrix_xla(a, b))
+    if pallas_kernels.use_pallas():
+        out = np.asarray(pallas_kernels.hamming_matrix_pallas(a, b))
+        np.testing.assert_array_equal(ref, out)
+    else:
+        # dispatcher must fall back cleanly on CPU
+        np.testing.assert_array_equal(
+            np.asarray(matching.hamming_matrix(a, b)), ref
+        )
