@@ -30,14 +30,14 @@ def _hamming_matrix_xla(desc_a, desc_b):
 def hamming_matrix(desc_a, desc_b):
     """(N,32)x(M,32) uint8 descriptors -> (N,M) int32 Hamming distances.
 
-    Replaces the bit-hack popcount loop (orb_matcher.cpp:580-594). On TPU
-    the tiled Pallas kernel (features/pallas_kernels.py) keeps the XOR
-    byte tensor in VMEM; elsewhere the XLA formulation is used.
-    """
-    from . import pallas_kernels
+    Replaces the bit-hack popcount loop (orb_matcher.cpp:580-594).
 
-    if pallas_kernels.use_pallas():
-        return pallas_kernels.hamming_matrix_pallas(desc_a, desc_b)
+    NOTE: a 6.7x-faster tiled Pallas kernel exists
+    (features/pallas_kernels.py, bit-exact) but is kept standalone for
+    now: composing pallas_call inside the larger jitted matchers hangs
+    the development TPU tunnel's executor (r1). Flip the dispatch here
+    once on direct-attached hardware.
+    """
     return _hamming_matrix_xla(desc_a, desc_b)
 
 
