@@ -100,6 +100,20 @@ def _inv3(m):
     return inv, det
 
 
+def _obs_residuals(cam, prob: BAProblem, cam_q, cam_t, pts):
+    """Residual-only pass (no Jacobians) for cost evaluation."""
+    ci = jnp.clip(prob.obs_cam, 0)
+    q = cam_q[ci]
+    t = cam_t[ci]
+    x = pts[:, None, :]
+    r, pc, depth_ok = factors.reproj_residual(
+        cam, q, t, jnp.broadcast_to(x, prob.obs_uvr.shape), prob.obs_uvr,
+        prob.obs_stereo,
+    )
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_sigma2_inv
+    return chi2, depth_ok
+
+
 def _obs_terms(cam, prob: BAProblem, cam_q, cam_t, pts):
     """Residual/Jacobian pass over the (P, MO) observation table."""
     ci = jnp.clip(prob.obs_cam, 0)
@@ -197,7 +211,7 @@ def solve_local_ba(
     ).astype(dtype)
 
     def total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber):
-        r, _, _, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
+        chi2, _ = _obs_residuals(cam, prob, cam_q, cam_t, pts)
         s = chi2
         d = huber_delta
         rho = jnp.where(
@@ -331,7 +345,7 @@ def solve_local_ba(
 
     # stage-2 -> stage-3 gate: drop bad reprojection edges, drop Huber (:797-825)
     cam_q2, cam_t2, pts_s2 = state[0], state[1], state[2]
-    _, _, _, chi2_o, depth_ok = _obs_terms(cam, prob, cam_q2, cam_t2, pts_s2)
+    chi2_o, depth_ok = _obs_residuals(cam, prob, cam_q2, cam_t2, pts_s2)
     bad_obs = (chi2_o > chi2_th) | ~depth_ok
     active_obs = active_obs & ~bad_obs
     use_huber = jnp.array(False)
@@ -340,7 +354,7 @@ def solve_local_ba(
     cam_q_f, cam_t_f, pts_f = state[0], state[1], state[2]
 
     # final classification (:837-894)
-    _, _, _, chi2_f, depth_ok_f = _obs_terms(cam, prob, cam_q_f, cam_t_f, pts_f)
+    chi2_f, depth_ok_f = _obs_residuals(cam, prob, cam_q_f, cam_t_f, pts_f)
     obs_bad = prob.obs_valid & obs_exists & ((chi2_f > chi2_th) | ~depth_ok_f)
     rs_f = factors.pt2plane_residual(pts_f, prob.str_mean, prob.str_normal)
     chi2_deg_f = ba_lambda2 * rs_f * rs_f
