@@ -21,37 +21,46 @@ import time
 import numpy as np
 
 
-def _sync(r):
-    """Force completion of all device work feeding r.
+def _reduced(fn):
+    """Wrap fn so its outputs are reduced to ONE scalar inside the same jit.
 
-    block_until_ready on the development TPU tunnel acks at enqueue, not
-    completion — the only reliable barrier is a reduction whose scalar is
-    transferred to the host.
+    Two development-tunnel quirks force this shape: block_until_ready acks
+    at enqueue (not completion), and transfers of arrays produced by a
+    CHAINED dispatch hang intermittently. A scalar that is the direct
+    output of the single measured dispatch transfers reliably and its
+    arrival proves the computation ran.
     """
     import jax
     import jax.numpy as jnp
-    import numpy as _np
 
-    total = 0.0
-    for leaf in jax.tree_util.tree_leaves(r):
-        if hasattr(leaf, "dtype"):
-            total += float(_np.asarray(jnp.sum(leaf.astype(jnp.float32))))
-    return total
+    @jax.jit
+    def wrapped():
+        r = fn()
+        total = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(r):
+            if hasattr(leaf, "dtype"):
+                total = total + jnp.sum(leaf.astype(jnp.float32))
+        return total
+
+    return wrapped
 
 
 def timeit(fn, warmup=2, iters=20, iters_lo=None):
     """Two-point measurement: slope between a short and a long run removes
     the fixed sync round-trip (~25ms through the tunnel)."""
+    import numpy as _np
+
     iters_lo = max(2, iters // 5) if iters_lo is None else iters_lo
+    wrapped = _reduced(fn)
     for _ in range(warmup):
-        r = fn()
-    _sync(r)
+        s = wrapped()
+    float(_np.asarray(s))
 
     def run(n):
         t0 = time.perf_counter()
         for _ in range(n):
-            r = fn()
-        _sync(r)
+            s = wrapped()
+        float(_np.asarray(s))
         return time.perf_counter() - t0
 
     t_lo = run(iters_lo)
