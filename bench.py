@@ -203,5 +203,34 @@ def main():
     )
 
 
+def _watchdog(seconds: float = 900.0):
+    """The development TPU tunnel intermittently wedges transfers; never
+    let the bench hang the round — emit a sentinel line and exit."""
+    import os
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "tracked_frames_per_sec_chip",
+                    "value": 0.0,
+                    "unit": "fps",
+                    "vs_baseline": 0.0,
+                    "error": "watchdog: TPU tunnel wedged during bench",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    t = _watchdog()
     main()
+    t.cancel()
