@@ -578,9 +578,20 @@ class Localization:
             fixed_set.add(oldest)
             local_set.discard(oldest)
 
-        L = caps.local_ba_kfs
-        C = L + caps.fixed_ba_kfs
-        P = caps.local_ba_points
+        # tiered static shapes: small windows compile to small programs
+        # (the padded worst-case BA costs ~4-8x more than early windows need)
+        n_local = len(local)
+        n_pts = len(pts)
+        tiers = [(8, 16, 2048), (16, 32, 4096), (caps.local_ba_kfs, caps.fixed_ba_kfs, caps.local_ba_points)]
+        for (tl, tf, tp) in tiers:
+            if n_local <= tl and n_pts <= tp:
+                L, F_CAP, P = tl, tf, tp
+                break
+        else:
+            L, F_CAP, P = tiers[-1]
+        C = L + F_CAP
+        fixed = fixed[:F_CAP]
+        fixed_set = set(fixed)
 
         cam_q = np.tile(np.array([1.0, 0, 0, 0]), (C, 1))
         cam_t = np.zeros((C, 3))
