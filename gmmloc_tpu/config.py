@@ -111,6 +111,9 @@ class LocConfig:
     ba_iters_stage1: int = 5
     ba_iters_stage2: int = 5
     ba_iters_stage3: int = 40
+    # LM early-termination relative-gain threshold (0 disables; g2o also
+    # stops when chi2 improvement vanishes)
+    ba_term_gain: float = 1e-6
     # first-KF prior sigmas (localization_opt.cpp:568-573)
     prior_sigma_rot_deg: float = 2.0
     prior_sigma_trans: float = 0.01

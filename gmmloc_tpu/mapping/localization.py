@@ -701,6 +701,7 @@ class Localization:
             iters1=cfg.loc.ba_iters_stage1,
             iters2=cfg.loc.ba_iters_stage2,
             iters3=cfg.loc.ba_iters_stage3,
+            term_gain=cfg.loc.ba_term_gain,
         )
 
         # write back poses/points, rejecting implausible jumps: a local-BA

@@ -176,7 +176,7 @@ def _prior_terms(prob: BAProblem, cam_q, cam_t, rot_info, trans_info):
     static_argnames=(
         "cam", "n_free", "ba_lambda2", "tri_str_thresh",
         "prior_rot_info", "prior_trans_info",
-        "iters1", "iters2", "iters3",
+        "iters1", "iters2", "iters3", "term_gain",
     ),
 )
 def solve_local_ba(
@@ -190,6 +190,7 @@ def solve_local_ba(
     iters1: int = 5,
     iters2: int = 5,
     iters3: int = 40,
+    term_gain: float = 1e-6,
 ) -> BAResult:
     L = n_free
     P, MO = prob.obs_cam.shape
@@ -308,7 +309,7 @@ def solve_local_ba(
             new_cost = total_cost(nq, nt, npts, active_obs, active_str, use_huber)
             accept = new_cost < cost
             gain = (cost - new_cost) / jnp.maximum(cost, 1e-12)
-            done = (accept & (gain < 1e-6)) | (lam > 1e4)
+            done = (accept & (gain < term_gain)) | (lam > 1e4)
             cam_q = jnp.where(accept, nq, cam_q)
             cam_t = jnp.where(accept, nt, cam_t)
             pts = jnp.where(accept, npts, pts)
