@@ -1,6 +1,8 @@
 """End-to-end synthetic run: full system on a GT trajectory segment.
 
-Usage: python tools/run_synthetic.py [n_frames] [stride] [seq]
+Usage: python tools/run_synthetic.py [n_frames] [stride] [seq] [start]
+(default start=150 skips the stationary, depth-degenerate opening of the
+V1/V2 sequences — see README deliberate deviations.)
 """
 
 import sys
@@ -24,14 +26,23 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     stride = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     seq = sys.argv[3] if len(sys.argv) > 3 else "V1_01_easy"
+    start = int(sys.argv[4]) if len(sys.argv) > 4 else 150
+
+    import dataclasses
 
     cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=0.9)
+    )
     fe, ts, q_wc, t_wc = synthetic.make_sequence(
         cfg,
         gt_path=f"{synthetic.GT_DIR}/{seq}.txt",
-        n_frames=n_frames,
+        n_frames=start + n_frames,
         stride=stride,
+        n_landmarks=30000,
+        disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
     )
+    ts, q_wc, t_wc = ts[start:], q_wc[start:], t_wc[start:]
     sys_ = GMMLocSystem(cfg, fe_gmap(cfg))
 
     t0 = time.time()
