@@ -34,7 +34,28 @@ def main():
     from gmmloc_tpu.solver import local_ba
 
     sys.path.insert(0, "/root/repo")
-    from bench import timeit
+
+    def timeit(fn, warmup=1, iters=6, iters_lo=2):
+        # local variant: sync by transferring a leaf (sharded calls carry
+        # jax.set_mesh, which cannot live inside another jit wrapper)
+        def sync(r):
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+        for _ in range(warmup):
+            r = fn()
+        sync(r)
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            sync(r)
+            return time.perf_counter() - t0
+
+        t_lo = run(iters_lo)
+        t_hi = run(iters)
+        return max((t_hi - t_lo) / max(1, iters - iters_lo), 1e-7)
 
     n_dev = len(jax.devices())
     virtual = jax.default_backend() == "cpu"
