@@ -265,3 +265,56 @@ def fundamental_matrix(q1, t1, q2, t2, K1, K2):
     t12 = -_se3.quat_rotate(q12, t2) + t1
     E = _se3.skew(t12) @ _se3.quat_to_matrix(q12)
     return jnp.linalg.inv(K1).T @ E @ jnp.linalg.inv(K2)
+
+
+@jax.jit
+def fuse_match(
+    proj_uv,        # (P,2) projected point positions in the target KF
+    proj_ur,        # (P,) projected right-u
+    pt_desc,        # (P,32) uint8 distinctive point descriptors
+    pred_level,     # (P,) int32 predicted octave
+    radius,         # (P,) search radius in px (octave-scaled)
+    pt_valid,       # (P,) bool
+    feat_uv,        # (M,2) target-KF features
+    feat_ur,        # (M,)
+    feat_desc,      # (M,32)
+    feat_octave,    # (M,)
+    feat_valid,     # (M,) bool
+    sigma2_inv,     # (n_levels,) per-octave information
+):
+    """Batched landmark->keyframe fusion matching
+    (ref: Localization::fuseObservations, localization.cpp:226-325):
+    window + level gate [pred-1, pred], per-candidate reprojection chi2
+    gate (5.99 mono / 7.8 stereo), Hamming argmin <= TH_LOW. Duplicate
+    feature targets resolve to the closest descriptor (the sequential
+    reference keeps the last writer). Returns (match (P,) feat idx or -1).
+    """
+    du = feat_uv[None, :, 0] - proj_uv[:, None, 0]
+    dv = feat_uv[None, :, 1] - proj_uv[:, None, 1]
+    in_window = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
+    in_level = (feat_octave[None, :] >= pred_level[:, None] - 1) & (
+        feat_octave[None, :] <= pred_level[:, None]
+    )
+    is_st = feat_ur[None, :] >= 0
+    err2 = du * du + dv * dv
+    dur = feat_ur[None, :] - proj_ur[:, None]
+    e = jnp.where(is_st, err2 + dur * dur, err2) * sigma2_inv[feat_octave][None, :]
+    chi2_ok = e <= jnp.where(is_st, 7.8, 5.99)
+    cand = in_window & in_level & chi2_ok & feat_valid[None, :] & pt_valid[:, None]
+
+    dist = hamming_matrix(pt_desc, feat_desc)
+    dist = jnp.where(cand, dist, 1 << 20)
+    best = jnp.argmin(dist, axis=1)
+    d0 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    matched = (d0 <= TH_LOW) & pt_valid
+
+    P = proj_uv.shape[0]
+    M = feat_uv.shape[0]
+    d0m = jnp.where(matched, d0, 1 << 20)
+    best_for_feat = jnp.full((M,), 1 << 20, jnp.int32).at[best].min(d0m)
+    winner = matched & (d0m == best_for_feat[best])
+    first_p = jnp.full((M,), P, jnp.int32).at[
+        jnp.where(winner, best, M - 1)
+    ].min(jnp.where(winner, jnp.arange(P), P))
+    winner = winner & (first_p[best] == jnp.arange(P))
+    return jnp.where(winner, best, -1)

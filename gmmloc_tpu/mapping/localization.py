@@ -480,36 +480,41 @@ class Localization:
         if len(pids) == 0:
             return 0
         sf = w.pyr["scale_factors"]
-        sigma2_inv = w.pyr["sigma2_inv"]
+        # batched window/chi2/Hamming matching on device (fuse_match kernel);
+        # only the map-surgery loop over the few winners stays on host
+        from .association import bucket_size
+
+        n = len(pids)
+        B = bucket_size(n)
+
+        def pad(a, fill, dtype):
+            a = np.asarray(a)
+            out = np.full((B,) + a.shape[1:], fill, dtype)
+            out[:n] = a
+            return out
+
+        match = np.asarray(
+            matching.fuse_match(
+                jnp.array(pad(np.stack([u, v], -1), 0.0, np.float32)),
+                jnp.array(pad(ur, -1.0, np.float32)),
+                jnp.array(pad(w.pt_desc[pids], 0, np.uint8)),
+                jnp.array(pad(lvl, 0, np.int32)),
+                jnp.array(pad(th * sf[lvl], 1.0, np.float32)),
+                jnp.array(pad(np.ones(n, bool), False, bool)),
+                jnp.array(w.kf_feat_uv[kf], jnp.float32),
+                jnp.array(w.kf_feat_ur[kf], jnp.float32),
+                jnp.array(w.kf_feat_desc[kf]),
+                jnp.array(w.kf_feat_octave[kf]),
+                jnp.array(w.kf_feat_valid[kf]),
+                jnp.array(w.pyr["sigma2_inv"], jnp.float32),
+            )
+        )[:n]
         num_fused = 0
-        feat_uv = w.kf_feat_uv[kf]
-        feat_ur = w.kf_feat_ur[kf]
-        feat_oct = w.kf_feat_octave[kf]
-        feat_ok = w.kf_feat_valid[kf]
-        for j, p in enumerate(pids):
-            radius = th * sf[lvl[j]]
-            du = feat_uv[:, 0] - u[j]
-            dv = feat_uv[:, 1] - v[j]
-            cand = feat_ok & (np.abs(du) < radius) & (np.abs(dv) < radius)
-            cand &= (feat_oct >= lvl[j] - 1) & (feat_oct <= lvl[j])
-            ci = np.where(cand)[0]
-            if len(ci) == 0:
+        for j in np.where(match >= 0)[0]:
+            p = pids[j]
+            if not w.pt_valid[p]:
                 continue
-            # reprojection chi2 gate (:265-276)
-            err = (du[ci] ** 2 + dv[ci] ** 2)
-            errs = err + np.where(feat_ur[ci] >= 0, (feat_ur[ci] - ur[j]) ** 2, 0.0)
-            e = np.where(feat_ur[ci] >= 0, errs, err) * sigma2_inv[feat_oct[ci]]
-            thresh = np.where(feat_ur[ci] >= 0, 7.8, 5.99)
-            ci = ci[e <= thresh]
-            if len(ci) == 0:
-                continue
-            dmat = np.unpackbits(
-                w.kf_feat_desc[kf][ci] ^ w.pt_desc[p][None, :], axis=-1
-            ).sum(-1)
-            bi = int(np.argmin(dmat))
-            if dmat[bi] > matching.TH_LOW:
-                continue
-            ft = int(ci[bi])
+            ft = int(match[j])
             existing = w.kf_obs_point[kf, ft]
             if existing >= 0 and w.pt_valid[existing]:
                 if w.pt_n_obs[existing] > w.pt_n_obs[p]:

@@ -56,7 +56,9 @@ class GMMLocSystem:
         self.last_frame: Optional[Frame] = None
         self.curr_keyframe: int = -1
         self.n_tracked = 0
-        self.track_failed = False
+        self.track_failed = False   # fatal: no recovery path available
+        self.lost = False           # recoverable: awaiting relocalization
+        self.n_lost = 0             # lifetime count of lost frames
 
     # ------------------------------------------------------------------
 
@@ -174,8 +176,32 @@ class GMMLocSystem:
 
     # ------------------------------------------------------------------
 
+    def _recover(self, frame: Frame) -> bool:
+        """Relocalize + reset the motion model / tracker state."""
+        if not self.relocalizer.relocalize(frame):
+            return False
+        self.tracker.last_frame = frame
+        self.tracker.ref_keyframe = frame.ref_kf
+        self.tracker.temp_points.clear()
+        # break the constant-velocity chain across the gap
+        self.last_frame = None
+        self.curr_frame = frame
+        self.lost = False
+        return True
+
     def step(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> TrackStat:
         """One iteration of the main loop (gmmloc.cpp:128-195)."""
+        if self.lost:
+            # LOST state (capability extension, SURVEY §5.3): the reference
+            # terminates on tracking failure (gmmloc.cpp:157-159); we keep
+            # consuming frames and retry place recognition on each.
+            self.n_lost += 1
+            if self._recover(frame):
+                stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
+                self.world.update_frame_info(frame)
+                return stat
+            return TrackStat(res=False)
+
         self.init_pose_guess(frame, gt_q_wc, gt_t_wc)
 
         if not self.initialized:
@@ -196,10 +222,12 @@ class GMMLocSystem:
                 # capability extension: attempt relocalization instead of
                 # terminating (the reference breaks the loop here,
                 # gmmloc.cpp:157-159)
-                if self.relocalizer.relocalize(frame):
-                    self.tracker.last_frame = frame
-                    self.tracker.ref_keyframe = frame.ref_kf
+                if self._recover(frame):
                     stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
+                else:
+                    self.lost = True
+                    self.n_lost += 1
+                    return stat
             if not stat.res:
                 self.track_failed = True
                 return stat
@@ -235,9 +263,9 @@ class GMMLocSystem:
             g_q = gt_q_wc[i] if gt_q_wc is not None else None
             g_t = gt_t_wc[i] if gt_t_wc is not None else None
             stat = self.step(frame, g_q, g_t)
-            if not stat.res:
+            if self.track_failed:
                 break
-            if on_frame is not None:
+            if stat.res and on_frame is not None:
                 on_frame(i, frame, stat)
         return self.world
 

@@ -40,6 +40,7 @@ class Relocalizer:
         self.min_inliers = min_inliers
         pyr = world.pyr
         self.sigma2_inv = pyr["sigma2_inv"]
+        self.last_stats: list = []  # per-candidate (kf, n_match, n_inlier)
 
     def add_keyframe(self, kf: int) -> None:
         w = self.world
@@ -51,6 +52,7 @@ class Relocalizer:
     def relocalize(self, frame: Frame) -> bool:
         """Try to recover the frame pose from the map. Returns success."""
         w = self.world
+        self.last_stats = []
         cands = self.db.query(frame.desc, frame.valid, top=5)
         for kf, score in cands:
             if not w.kf_valid[kf]:
@@ -71,6 +73,7 @@ class Relocalizer:
                     frame.mappoint[i] = p
                     n += 1
             if n < 15:
+                self.last_stats.append((int(kf), n, -1))
                 continue
             frame.set_pose(w.kf_q[kf], w.kf_t[kf])
 
@@ -89,6 +92,7 @@ class Relocalizer:
                 jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
                 jnp.array(has_pt & frame.valid),
             )
+            self.last_stats.append((int(kf), n, int(res.num_inliers)))
             if int(res.num_inliers) >= self.min_inliers:
                 frame.set_pose(
                     np.asarray(res.q, np.float64), np.asarray(res.t, np.float64)

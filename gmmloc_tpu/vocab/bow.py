@@ -216,16 +216,20 @@ class KeyFrameDatabase:
                 self.inv[w].remove(kf)
 
     def query(self, descs, valid=None, top: int = 5) -> List[Tuple[int, float]]:
-        """Candidate KFs by shared words, scored TF-IDF L1."""
-        v = self.voc.bow_vector(descs, valid)
-        share = {}
-        for w in np.where(v > 0)[0]:
-            for kf in self.inv[w]:
-                share[kf] = share.get(kf, 0) + 1
-        if not share:
+        """Candidate KFs by shared words, scored TF-IDF L1.
+
+        All keyframes sharing at least one word are scored (vectorized
+        over the stacked BoW matrix). A share-count prefilter like
+        ORB-SLAM2's 0.8*max cut degenerates when the vocabulary is small
+        relative to the per-frame feature count (every KF shares nearly
+        every word and a single KF monopolizes the candidate list)."""
+        if not self.bow:
             return []
-        max_share = max(share.values())
-        cands = [kf for kf, s in share.items() if s >= 0.8 * max_share]
-        scored = [(kf, self.voc.score_l1(v, self.bow[kf])) for kf in cands]
-        scored.sort(key=lambda x: -x[1])
-        return scored[:top]
+        v = self.voc.bow_vector(descs, valid)
+        kfs = list(self.bow.keys())
+        mat = np.stack([self.bow[k] for k in kfs])     # (n_kf, n_words)
+        # L1 score: 2 + sum(|a-b| - |a| - |b|) over shared support
+        # (DBoW2 ScoringObject.cpp L1Scoring, higher = more similar)
+        scores = 1.0 - 0.5 * np.abs(mat - v[None, :]).sum(axis=1)
+        order = np.argsort(-scores)[:top]
+        return [(kfs[i], float(scores[i])) for i in order if scores[i] > 0.0]

@@ -39,7 +39,7 @@ ALL_SEQS = [
 
 
 def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
-             out_path=None):
+             out_path=None, vocabulary=None):
     gt_path = f"{synthetic.GT_DIR}/{seq}.txt"
     fe, ts, q_wc, t_wc = synthetic.make_sequence(
         cfg, gt_path=gt_path,
@@ -47,25 +47,35 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
         n_landmarks=30000, seed=run_idx,
         disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
     )
+    if vocabulary == "train":
+        # on-domain vocabulary from the world's landmark signatures
+        # (ORBvoc.bin is absent from the reference repo — SURVEY §7 item 7)
+        from gmmloc_tpu.vocab.bow import Vocabulary
+
+        sub = fe.world.desc[:: max(1, len(fe.world.desc) // 20000)]
+        vocabulary = Vocabulary.train(sub, k=10, depth=4, seed=0)
     n_avail = len(ts) - start
     N = min(n_frames, n_avail)
-    sys_ = GMMLocSystem(cfg, gmap)
+    sys_ = GMMLocSystem(cfg, gmap, vocabulary=vocabulary)
     t0 = time.time()
     done = 0
+    tracked = 0
     for i in range(N):
         fi = start + i
         f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
         st = sys_.step(f, q_wc[fi], t_wc[fi])
-        if not st.res:
+        if sys_.track_failed:
             break
         done += 1
+        tracked += int(st.res)
     wall = time.time() - t0
     ts_est, q_est, t_est = sys_.export_trajectory()
     if out_path:
         sys_.world.save_trajectory_tum(out_path)
     m = ate.ate_rmse(ts_est, t_est, ts[start : start + done], t_wc[start : start + done])
     m.update(
-        frames=done, target=N, fps=done / wall if wall > 0 else 0.0,
+        frames=done, tracked=tracked, lost=sys_.n_lost, target=N,
+        fps=done / wall if wall > 0 else 0.0,
         kfs=sys_.world.n_keyframes(), pts=sys_.world.n_points(),
         completed=done == N,
     )
@@ -80,6 +90,9 @@ def main():
     ap.add_argument("--seqs", default="V1_01_easy")
     ap.add_argument("--out", default="expr")
     ap.add_argument("--damping", type=float, default=0.9)
+    ap.add_argument("--reloc", type=int, default=1,
+                    help="1: enable BoW relocalization rescue (extension); "
+                         "0: reference parity (terminate on loss)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -103,12 +116,13 @@ def main():
         for r in range(args.runs):
             out_path = os.path.join(args.out, f"{seq}{r}.txt")
             m = run_once(cfg, seq, r, args.frames, args.start,
-                         gmaps[gmm_path], out_path)
+                         gmaps[gmm_path], out_path,
+                         vocabulary="train" if args.reloc else None)
             runs.append(m)
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm mean={m['mean']*100:.2f}cm "
-                f"frames={m['frames']}/{m['target']} fps={m['fps']:.2f} "
-                f"kfs={m['kfs']}", flush=True,
+                f"frames={m['frames']}/{m['target']} lost={m['lost']} "
+                f"fps={m['fps']:.2f} kfs={m['kfs']}", flush=True,
             )
         rmses = [m["rmse"] for m in runs]
         results[seq] = {
