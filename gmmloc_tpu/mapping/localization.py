@@ -86,6 +86,7 @@ class Localization:
         kf = self.queue.pop(0)
         self.curr_kf = kf
         obs = w.kf_obs_point[kf]
+        new_pts = []
         for i in np.where(obs >= 0)[0]:
             p = obs[i]
             if not w.pt_valid[p]:
@@ -93,10 +94,13 @@ class Localization:
                 continue
             if not (w.pt_obs_kf[p] == kf).any():
                 w.add_observation(p, kf, int(i))
-                w.update_normal_and_depth(p)
-                w.compute_distinctive_descriptor(p)
+                new_pts.append(p)
             else:
                 self.candidate_points.append(p)
+        for p in new_pts:
+            w.compute_distinctive_descriptor(p)
+        if new_pts:
+            w.update_normal_and_depth_batch(np.array(new_pts))
         w.update_connections(kf)
 
     def remove_map_points(self) -> None:
@@ -611,6 +615,8 @@ class Localization:
             cam_valid[L + i] = True
             slot_of[k] = L + i
 
+        pts_np = np.array(pts, np.int64)
+        n_act = len(pts)
         pts_arr = np.zeros((P, 3))
         pt_valid = np.zeros(P, bool)
         str_type = np.zeros(P, np.int32)
@@ -619,49 +625,60 @@ class Localization:
         str_mean = np.zeros((P, 3))
         str_sqrt = np.tile(np.eye(3), (P, 1, 1))
         deg = self.assoc._deg
-        for p, i in pt_slot.items():
-            pts_arr[i] = w.pt_pos[p]
-            pt_valid[i] = True
-            c = w.pt_assoc_comp[p]
-            if c >= 0:
-                if deg[c]:
-                    str_type[i] = local_ba.STR_DEG
-                    str_normal[i] = self.assoc._normal[c]
-                    str_mean[i] = self.assoc._means[c]
-                else:
-                    str_type[i] = local_ba.STR_NONDEG
-                    str_mean[i] = self.assoc._means[c]
-                    str_sqrt[i] = self.assoc._sqrt_info[c]
+        pts_arr[:n_act] = w.pt_pos[pts_np]
+        pt_valid[:n_act] = True
+        comp = w.pt_assoc_comp[pts_np]
+        has_c = comp >= 0
+        cs = np.maximum(comp, 0)
+        is_deg = has_c & deg[cs]
+        is_nd = has_c & ~deg[cs]
+        str_type[:n_act] = np.where(
+            is_deg, local_ba.STR_DEG, np.where(is_nd, local_ba.STR_NONDEG, 0)
+        )
+        str_normal[:n_act][is_deg] = self.assoc._normal[cs[is_deg]]
+        str_mean[:n_act][has_c] = self.assoc._means[cs[has_c]]
+        str_sqrt[:n_act][is_nd] = self.assoc._sqrt_info[cs[is_nd]]
 
         # per-point observation tables (the solver is gather/one-hot based —
-        # TPU scatters serialize; see solver/local_ba.py)
+        # TPU scatters serialize; see solver/local_ba.py). The world already
+        # keeps (MP, MO_world) observation tables, so assembly is pure
+        # vectorized gathering: map KF ids -> window slots, compact the
+        # surviving observations to the first MO columns per row.
         MO = caps.ba_obs_per_point
         obs_cam = np.full((P, MO), -1, np.int32)
         obs_uvr = np.zeros((P, MO, 3), np.float32)
         obs_st = np.zeros((P, MO), bool)
         obs_s2i = np.ones((P, MO), np.float32)
         obs_valid = np.zeros((P, MO), bool)
-        obs_ref = {}  # (pt_slot, obs_slot) -> (point_id, kf_id)
+        obs_kfid = np.full((P, MO), -1, np.int32)  # for post-BA obs erasure
         sigma2_inv = w.pyr["sigma2_inv"]
-        obs_per_cam = np.zeros(C, np.int64)
-        for p, i in pt_slot.items():
-            kfs, feats = w.point_observations(p)
-            oi = 0
-            for k, ft in zip(kfs, feats):
-                if k not in slot_of or oi >= MO:
-                    continue
-                obs_cam[i, oi] = slot_of[k]
-                obs_uvr[i, oi] = [
-                    w.kf_feat_uv[k, ft, 0],
-                    w.kf_feat_uv[k, ft, 1],
-                    w.kf_feat_ur[k, ft],
-                ]
-                obs_st[i, oi] = w.kf_feat_ur[k, ft] >= 0
-                obs_s2i[i, oi] = sigma2_inv[w.kf_feat_octave[k, ft]]
-                obs_valid[i, oi] = True
-                obs_ref[(i, oi)] = (p, int(k))
-                obs_per_cam[slot_of[k]] += 1
-                oi += 1
+        slot_lut = np.full(w.MK, -1, np.int32)
+        for k, s in slot_of.items():
+            slot_lut[k] = s
+        okf = w.pt_obs_kf[pts_np]                       # (n_act, MO_world)
+        oslot = np.where(okf >= 0, slot_lut[np.maximum(okf, 0)], -1)
+        use = (okf >= 0) & (oslot >= 0)
+        order = np.argsort(~use, axis=1, kind="stable")[:, :MO]
+        use_c = np.take_along_axis(use, order, axis=1)
+        okf_c = np.where(use_c, np.take_along_axis(okf, order, axis=1), 0)
+        oft_c = np.where(
+            use_c, np.take_along_axis(w.pt_obs_feat[pts_np], order, axis=1), 0
+        )
+        obs_cam[:n_act] = np.where(
+            use_c, np.take_along_axis(oslot, order, axis=1), -1
+        )
+        uv = w.kf_feat_uv[okf_c, oft_c]                 # (n_act, MO, 2)
+        urr = w.kf_feat_ur[okf_c, oft_c]
+        obs_uvr[:n_act] = np.concatenate([uv, urr[..., None]], -1)
+        obs_st[:n_act] = use_c & (urr >= 0)
+        obs_s2i[:n_act] = np.where(
+            use_c, sigma2_inv[w.kf_feat_octave[okf_c, oft_c]], 1.0
+        )
+        obs_valid[:n_act] = use_c
+        obs_kfid[:n_act] = np.where(use_c, okf_c, -1)
+        obs_per_cam = np.bincount(
+            obs_cam[:n_act][use_c].astype(np.int64), minlength=C
+        )
 
         # A local KF with almost no surviving observations is effectively
         # unconstrained — optimizing it lets it wander (observed r1: culled
@@ -722,23 +739,27 @@ class Localization:
                 continue
             w.kf_q[k], w.kf_t[k] = n, new_t[i]
         new_pts = np.asarray(res.pts, np.float64)
-        for p, i in pt_slot.items():
-            w.pt_pos[p] = new_pts[i]
+        w.pt_pos[pts_np] = new_pts[:n_act]
 
         # association downgrade (:837-855)
-        drop = np.asarray(res.str_drop)
-        for p, i in pt_slot.items():
-            if drop[i] and w.pt_type[p] in ms.DOWNGRADE:
-                w.pt_type[p] = ms.DOWNGRADE[int(w.pt_type[p])]
-                w.pt_assoc_comp[p] = -1
+        drop = np.asarray(res.str_drop)[:n_act]
+        dg_lut = np.arange(128, dtype=np.int16)
+        for src, dst in ms.DOWNGRADE.items():
+            dg_lut[src] = dst
+        dgm = drop & np.isin(w.pt_type[pts_np], list(ms.DOWNGRADE.keys()))
+        sel = pts_np[dgm]
+        w.pt_type[sel] = dg_lut[w.pt_type[sel]].astype(w.pt_type.dtype)
+        w.pt_assoc_comp[sel] = -1
 
-        # erase outlier observations (:857-894)
-        bad = np.asarray(res.obs_bad)
-        for (i, oi), (p, k) in obs_ref.items():
-            if bad[i, oi] and w.pt_valid[p]:
-                if w.remove_observation(p, k):
+        # erase outlier observations (:857-894) — host surgery over the
+        # (few) flagged entries only
+        bad = np.asarray(res.obs_bad)[:n_act] & (obs_kfid[:n_act] >= 0)
+        for i, oi in np.argwhere(bad):
+            p = pts_np[i]
+            if w.pt_valid[p]:
+                if w.remove_observation(p, int(obs_kfid[i, oi])):
                     w.remove_point(p)
-        w.update_normal_and_depth_batch(np.array(list(pt_slot.keys())))
+        w.update_normal_and_depth_batch(pts_np)
 
     # ------------------------------------------------------------------
 
@@ -752,29 +773,23 @@ class Localization:
             if w.kf_frame_idx[kf] == 0 or not w.kf_valid[kf]:
                 continue
             obs = w.kf_obs_point[kf]
-            feats = np.where(obs >= 0)[0]
-            num_mps = 0
-            num_redundant = 0
-            for ft in feats:
-                p = obs[ft]
-                if not w.pt_valid[p]:
-                    continue
-                d = w.kf_feat_depth[kf, ft]
-                if d > th_depth or d < 0:
-                    continue
-                num_mps += 1
-                if w.pt_n_obs[p] > cfg.loc.cull_min_obs:
-                    lvl = w.kf_feat_octave[kf, ft]
-                    n_obs = 0
-                    kfs, fts = w.point_observations(p)
-                    for ki, fi in zip(kfs, fts):
-                        if ki == kf:
-                            continue
-                        if w.kf_feat_octave[ki, fi] <= lvl + 1:
-                            n_obs += 1
-                            if n_obs >= cfg.loc.cull_min_obs:
-                                break
-                    if n_obs >= cfg.loc.cull_min_obs:
-                        num_redundant += 1
-            if num_redundant > cfg.loc.kf_cull_redundancy * num_mps and num_mps > 0:
+            d = w.kf_feat_depth[kf]
+            near = (obs >= 0) & w.pt_valid[np.maximum(obs, 0)] & (d >= 0) & (
+                d <= th_depth
+            )
+            pts = obs[near]
+            num_mps = len(pts)
+            if num_mps == 0:
+                continue
+            lvl = w.kf_feat_octave[kf, near]
+            # count other-KF observations at same-or-one-coarser scale
+            okf = w.pt_obs_kf[pts]                     # (n, MO_world)
+            oft = np.maximum(w.pt_obs_feat[pts], 0)
+            other = (okf >= 0) & (okf != kf)
+            oct_other = w.kf_feat_octave[np.maximum(okf, 0), oft]
+            n_obs = np.sum(other & (oct_other <= lvl[:, None] + 1), axis=1)
+            redundant = (w.pt_n_obs[pts] > cfg.loc.cull_min_obs) & (
+                n_obs >= cfg.loc.cull_min_obs
+            )
+            if redundant.sum() > cfg.loc.kf_cull_redundancy * num_mps:
                 w.remove_keyframe(kf)
