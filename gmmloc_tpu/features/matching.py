@@ -285,9 +285,12 @@ def fuse_match(
     """Batched landmark->keyframe fusion matching
     (ref: Localization::fuseObservations, localization.cpp:226-325):
     window + level gate [pred-1, pred], per-candidate reprojection chi2
-    gate (5.99 mono / 7.8 stereo), Hamming argmin <= TH_LOW. Duplicate
-    feature targets resolve to the closest descriptor (the sequential
-    reference keeps the last writer). Returns (match (P,) feat idx or -1).
+    gate (5.99 mono / 7.8 stereo), Hamming argmin <= TH_LOW.
+
+    Duplicate feature targets are NOT deduplicated: several points
+    matching the same feature is the duplicate-landmark case that fusion
+    exists to merge — the host surgery loop resolves each collision via
+    the add-or-replace rule (:300-318). Returns (P,) feature idx or -1.
     """
     du = feat_uv[None, :, 0] - proj_uv[:, None, 0]
     dv = feat_uv[None, :, 1] - proj_uv[:, None, 1]
@@ -307,14 +310,4 @@ def fuse_match(
     best = jnp.argmin(dist, axis=1)
     d0 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
     matched = (d0 <= TH_LOW) & pt_valid
-
-    P = proj_uv.shape[0]
-    M = feat_uv.shape[0]
-    d0m = jnp.where(matched, d0, 1 << 20)
-    best_for_feat = jnp.full((M,), 1 << 20, jnp.int32).at[best].min(d0m)
-    winner = matched & (d0m == best_for_feat[best])
-    first_p = jnp.full((M,), P, jnp.int32).at[
-        jnp.where(winner, best, M - 1)
-    ].min(jnp.where(winner, jnp.arange(P), P))
-    winner = winner & (first_p[best] == jnp.arange(P))
-    return jnp.where(winner, best, -1)
+    return jnp.where(matched, best, -1)

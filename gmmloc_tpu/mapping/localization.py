@@ -250,28 +250,30 @@ class Localization:
         from_mono = use_dlt
 
         pts0 = np.zeros((M, 3))
-        # DLT (SVD on 4x4, :320-341)
-        for m in np.where(use_dlt)[0]:
+        # DLT (SVD on 4x4, :320-341) — batched over all DLT rows at once
+        di = np.where(use_dlt)[0]
+        if len(di):
             A = np.stack(
                 [
-                    xn1[m, 0] * T1[2] - T1[0],
-                    xn1[m, 1] * T1[2] - T1[1],
-                    xn2[m, 0] * T2[2] - T2[0],
-                    xn2[m, 1] * T2[2] - T2[1],
-                ]
-            )
+                    xn1[di, 0, None] * T1[2] - T1[0],
+                    xn1[di, 1, None] * T1[2] - T1[1],
+                    xn2[di, 0, None] * T2[2] - T2[0],
+                    xn2[di, 1, None] * T2[2] - T2[1],
+                ],
+                axis=1,
+            )                                           # (n, 4, 4)
             _, _, Vt = np.linalg.svd(A)
-            v = Vt[3]
-            if abs(v[3]) < 1e-12:
-                usable[m] = False
-                continue
-            pts0[m] = v[:3] / v[3]
-        for m in np.where(use_s1)[0]:
-            pc = xn1[m] * z1[m]
-            pts0[m] = R1.T @ (pc - t1)
-        for m in np.where(use_s2)[0]:
-            pc = xn2[m] * z2[m]
-            pts0[m] = R2.T @ (pc - t2)
+            v = Vt[:, 3]                                # (n, 4)
+            bad = np.abs(v[:, 3]) < 1e-12
+            usable[di[bad]] = False
+            vs = np.where(bad[:, None], 1.0, v[:, 3:4])
+            pts0[di] = v[:, :3] / vs
+        s1i = np.where(use_s1)[0]
+        if len(s1i):
+            pts0[s1i] = (xn1[s1i] * z1[s1i, None] - t1) @ R1
+        s2i_ = np.where(use_s2)[0]
+        if len(s2i_):
+            pts0[s2i_] = (xn2[s2i_] * z2[s2i_, None] - t2) @ R2
 
         mi = np.where(usable)[0]
         if len(mi) == 0:
@@ -341,44 +343,38 @@ class Localization:
         )
         pts = np.where(has_str[:, None], x_opt[np.arange(len(mi)), best], pts0[mi])
 
-        # acceptance gates (:358-412): reprojection into both KFs + scale
-        created = 0
-        for j, m in enumerate(mi):
-            pt = pts[j]
-            ok_pt = True
-            for (Rk, tk, uvk, urk, octk, stk) in (
-                (R1, t1, uv1[m], ur1[m], oct1[m], st1[m]),
-                (R2, t2, uv2[m], ur2[m], oct2[m], st2[m]),
-            ):
-                pc = Rk @ pt + tk
-                if pc[2] <= 0:
-                    ok_pt = False
-                    break
-                u = cam.fx * pc[0] / pc[2] + cam.cx
-                v = cam.fy * pc[1] / pc[2] + cam.cy
-                if stk:
-                    urp = u - cam.bf / pc[2]
-                    err = (u - uvk[0]) ** 2 + (v - uvk[1]) ** 2 + (urp - urk) ** 2
-                    th = 7.8
-                else:
-                    err = (u - uvk[0]) ** 2 + (v - uvk[1]) ** 2
-                    th = 5.991
-                # NOTE: the reference scales both gates by sigma2[kp1.octave]
-                # (:371,:382 use kp1's octave even for kp2 — mirrored here)
-                if err > th * sigma2[oct1[m]]:
-                    ok_pt = False
-                    break
-            if not ok_pt:
-                continue
-            d1 = np.linalg.norm(pt - t1_wc)
-            d2 = np.linalg.norm(pt - t2_wc)
-            if d1 < 1e-9 or d2 < 1e-9:
-                continue
-            ratio_dist = d2 / d1
-            ratio_oct = sf[oct1[m]] / sf[oct2[m]]
-            if ratio_dist * ratio_factor < ratio_oct or ratio_dist > ratio_oct * ratio_factor:
-                continue
+        # acceptance gates (:358-412): reprojection into both KFs + scale —
+        # vectorized over all usable matches; only the map surgery for the
+        # survivors stays a loop
+        def reproj_ok(Rk, tk, uvk, urk, stk):
+            pc = pts @ Rk.T + tk                       # (n, 3)
+            z = pc[:, 2]
+            zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+            u = cam.fx * pc[:, 0] / zs + cam.cx
+            v = cam.fy * pc[:, 1] / zs + cam.cy
+            err = (u - uvk[:, 0]) ** 2 + (v - uvk[:, 1]) ** 2
+            errs = err + (u - cam.bf / zs - urk) ** 2
+            e = np.where(stk, errs, err)
+            th = np.where(stk, 7.8, 5.991)
+            # NOTE: the reference scales both gates by sigma2[kp1.octave]
+            # (:371,:382 use kp1's octave even for kp2 — mirrored here)
+            return (z > 0) & (e <= th * sigma2[oct1[mi]])
 
+        ok_pt = reproj_ok(R1, t1, uv1[mi], ur1[mi], st1[mi])
+        ok_pt &= reproj_ok(R2, t2, uv2[mi], ur2[mi], st2[mi])
+        d1 = np.linalg.norm(pts - t1_wc, axis=1)
+        d2 = np.linalg.norm(pts - t2_wc, axis=1)
+        ok_pt &= (d1 >= 1e-9) & (d2 >= 1e-9)
+        ratio_dist = d2 / np.maximum(d1, 1e-9)
+        ratio_oct = sf[oct1[mi]] / sf[oct2[mi]]
+        ok_pt &= (ratio_dist * ratio_factor >= ratio_oct) & (
+            ratio_dist <= ratio_oct * ratio_factor
+        )
+
+        created = 0
+        for j in np.where(ok_pt)[0]:
+            m = mi[j]
+            pt = pts[j]
             pid = w.alloc_point(pt, ref_kf=kf1, created_kf_idx=w.kf_frame_idx[kf1])
             if from_mono[m]:
                 w.pt_type[pid] = (

@@ -72,3 +72,52 @@ def test_fused_track_step_recovers_pose(rng):
     err = se3.log(*se3.compose(*se3.inverse(q_gt, t_gt), res.q, res.t))
     assert float(jnp.linalg.norm(err)) < 2e-3, np.asarray(err)
     assert int(res.num_inliers) > 0.8 * n
+
+
+def test_fused_track_system_equivalence():
+    """System-level equivalence: the fused single-dispatch path tracks the
+    same synthetic slice as the classic multi-kernel path with matching
+    accuracy (not bit-identical — match staging differs; ATE parity is the
+    acceptance gate for defaulting use_fused_track on)."""
+    import dataclasses
+    import os
+    import pytest
+    from gmmloc_tpu.eval import ate, synthetic
+    from gmmloc_tpu.gmm import mixture
+    from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+    if not os.path.exists(synthetic.V1_GMM):
+        pytest.skip("reference assets absent")
+
+    base = euroc_v1_config()
+    base = base.replace(
+        tracking=dataclasses.replace(base.tracking, velocity_damping=0.9)
+    )
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=base.caps.gmm_components_pad,
+        neighbor_dist_thresh=base.gmm.neighbor_dist_thresh,
+        neighbor_cap=base.gmm.neighbor_cap,
+    )
+    START, N = 150, 50
+    results = {}
+    for use_fused in (False, True):
+        cfg = base.replace(
+            tracking=dataclasses.replace(base.tracking, use_fused_track=use_fused)
+        )
+        fe, ts, q_wc, t_wc = synthetic.make_sequence(
+            cfg, n_frames=300, stride=1, n_landmarks=20000,
+            disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+        )
+        s = GMMLocSystem(cfg, gmap)
+        for i in range(N):
+            fi = START + i
+            f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+            st = s.step(f, q_wc[fi], t_wc[fi])
+            assert st.res, f"tracking failed at {i} (fused={use_fused})"
+        ts_est, _, t_est = s.export_trajectory()
+        m = ate.ate_rmse(ts_est, t_est, ts[START:START + N], t_wc[START:START + N])
+        results[use_fused] = m["rmse"]
+    assert results[True] < 0.03, f"fused ATE {results[True]*100:.2f}cm"
+    assert results[False] < 0.03, f"classic ATE {results[False]*100:.2f}cm"
+    # parity within 1 cm on this slice
+    assert abs(results[True] - results[False]) < 0.01, results
