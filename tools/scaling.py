@@ -24,6 +24,17 @@ import numpy as np
 
 
 def main():
+    # --cpu N: force an N-device virtual CPU mesh. Env vars don't work on
+    # this box (sitecustomize imports jax and registers the TPU plugin in
+    # every interpreter before argv is seen); jax.config.update does, as
+    # long as no backend has been initialized yet.
+    if "--cpu" in sys.argv:
+        import jax as _jax
+
+        n = int(sys.argv[sys.argv.index("--cpu") + 1])
+        _jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_num_cpu_devices", n)
+
     import jax
     import jax.numpy as jnp
 
