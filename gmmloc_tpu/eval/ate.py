@@ -58,7 +58,13 @@ def ate_rmse(t_est, p_est, t_ref, p_ref, with_scale=True, max_diff=0.02):
 
     Returns dict(rmse, mean, median, n).
     """
-    ie, ir = associate_by_timestamp(np.asarray(t_est), np.asarray(t_ref), max_diff)
+    t_est = np.asarray(t_est)
+    p_est = np.asarray(p_est)
+    # drop non-finite estimates (a rescued-but-diverged frame must not
+    # poison the SVD for the whole run)
+    fin = np.isfinite(p_est).all(axis=1)
+    t_est, p_est = t_est[fin], p_est[fin]
+    ie, ir = associate_by_timestamp(t_est, np.asarray(t_ref), max_diff)
     if len(ie) < 3:
         return {"rmse": float("inf"), "mean": float("inf"), "median": float("inf"), "n": 0}
     x = np.asarray(p_est)[ie].T

@@ -98,6 +98,11 @@ def optimize_pose(
             H = H + jnp.eye(6, dtype=H.dtype) * 1e-6  # mild LM damping
             dx = -jnp.linalg.solve(H, b)
             q_n, t_n = se3.boxplus(q_i, t_i, dx)
+            # reject a diverged step (singular H / NaN residuals): keep the
+            # previous estimate rather than poisoning the remaining iters
+            ok = jnp.all(jnp.isfinite(q_n)) & jnp.all(jnp.isfinite(t_n))
+            q_n = jnp.where(ok, q_n, q_i)
+            t_n = jnp.where(ok, t_n, t_i)
             return q_n, t_n
 
         q, t = jax.lax.fori_loop(0, iters, gn_iter, (q, t))
@@ -105,7 +110,9 @@ def optimize_pose(
         # reclassify ALL valid edges (outliers can come back; tracking_opt:163-178)
         r, _, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
         chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
-        outlier = valid & (chi2 > chi2_th)
+        # ~(chi2 <= th): NaN chi2 classifies as OUTLIER (a diverged pose
+        # must not count every edge as an inlier)
+        outlier = valid & ~(chi2 <= chi2_th)
         return q, t, outlier
 
     outlier0 = jnp.zeros_like(valid)

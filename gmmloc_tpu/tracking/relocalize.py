@@ -92,11 +92,12 @@ class Relocalizer:
                 jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
                 jnp.array(has_pt & frame.valid),
             )
+            q_new = np.asarray(res.q, np.float64)
+            t_new = np.asarray(res.t, np.float64)
+            pose_ok = bool(np.isfinite(q_new).all() and np.isfinite(t_new).all())
             self.last_stats.append((int(kf), n, int(res.num_inliers)))
-            if int(res.num_inliers) >= self.min_inliers:
-                frame.set_pose(
-                    np.asarray(res.q, np.float64), np.asarray(res.t, np.float64)
-                )
+            if pose_ok and int(res.num_inliers) >= self.min_inliers:
+                frame.set_pose(q_new, t_new)
                 frame.is_outlier = np.array(res.is_outlier)
                 for i in np.where(frame.mappoint >= 0)[0]:
                     if frame.is_outlier[i]:
