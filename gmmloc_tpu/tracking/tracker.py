@@ -52,6 +52,9 @@ class Tracker:
         self.local_points: np.ndarray = np.zeros(0, np.int64)
         self.temp_points: List[int] = []
         self.stat = TrackStat()
+        # per-frame debug counters (host-side, negligible cost): filled by
+        # the track paths, consumed by tools/diagnose_seq.py
+        self.dbg: dict = {}
         pyr = world.pyr
         self.scale_factors = pyr["scale_factors"]
         self.sigma2_inv = pyr["sigma2_inv"]
@@ -81,9 +84,13 @@ class Tracker:
             self._create_temporal_points()
 
         self.stat = TrackStat(res=True)
+        self.dbg = {"path": "classic"}
         n = self._track_with_motion_model(frame)
+        self.dbg["n_after_motion"] = n
         if n < self.cfg.tracking.min_matches_track:
             n = self._track_keyframe(frame)
+            self.dbg["used_kf_fallback"] = True
+            self.dbg["n_after_kf"] = n
             if n < self.cfg.tracking.min_matches_track:
                 self.stat.res = False
                 self.stat.num_match_inliers = 10
@@ -94,6 +101,8 @@ class Tracker:
         self._update_local_map(frame)
         self._search_local_points(frame)
         self.stat.num_match_inliers = self._track_local_map(frame)
+        sel = frame.mappoint[frame.mappoint >= 0]
+        self.dbg["n_gmm_inliers"] = int((w.pt_assoc_comp[sel] >= 0).sum())
 
         # map-coverage ratio over near-depth features (tracking.cpp:86-103)
         near = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
@@ -220,9 +229,12 @@ class Tracker:
         th = self.cfg.tracking.motion_search_radius
 
         n = self._search_frame_to_frame(frame, th)
+        self.dbg["n_motion_match"] = n
         if n < self.cfg.tracking.min_matches_motion:
             frame.mappoint[:] = -1
             n = self._search_frame_to_frame(frame, 2 * th)
+            self.dbg["used_wide_retry"] = True
+            self.dbg["n_motion_match"] = n
         if n < self.cfg.tracking.min_matches_motion:
             return 0
         self._run_pose_opt(frame)
@@ -540,6 +552,12 @@ class Tracker:
         self.stat.num_match_inliers = int(
             (w.pt_n_obs[frame.mappoint[frame.mappoint >= 0]] > 0).sum()
         )
+        selg = frame.mappoint[frame.mappoint >= 0]
+        self.dbg = {
+            "path": "fused",
+            "n_motion_match": int(res.n_motion_matches),
+            "n_gmm_inliers": int((w.pt_assoc_comp[selg] >= 0).sum()),
+        }
 
         # local map refresh for the NEXT frame + reference KF + ratio_map
         self._update_local_map(frame)

@@ -91,11 +91,16 @@ def main():
             rerr = quat_angle_deg(frame.q_cw, q_gt_cw)
         else:
             terr, rerr = -1.0, -1.0
+        dbg = sys_.tracker.dbg
         rows.append(
             (i, int(stat.res), int(sys_.lost), terr, rerr,
              stat.num_match_inliers, stat.ratio_map,
              sys_.world.n_keyframes(), int(frame.is_keyframe),
-             frame.ref_kf)
+             frame.ref_kf,
+             dbg.get("n_motion_match", -1),
+             int(dbg.get("used_wide_retry", False)),
+             int(dbg.get("used_kf_fallback", False)),
+             dbg.get("n_gmm_inliers", -1))
         )
         if sys_.track_failed:
             print(f"FATAL tracking failure at frame {i}")
@@ -107,7 +112,8 @@ def main():
 
     wall = time.time() - t0
     with open(args.out, "w") as f:
-        f.write("frame,res,lost,terr_cm,rerr_deg,inliers,ratio_map,kfs,is_kf,ref_kf\n")
+        f.write("frame,res,lost,terr_cm,rerr_deg,inliers,ratio_map,kfs,is_kf,"
+                "ref_kf,n_motion,wide_retry,kf_fallback,n_gmm_inl\n")
         for r in rows:
             f.write(",".join(str(x) for x in r) + "\n")
 
