@@ -160,6 +160,29 @@ class TrackingConfig:
     # near-stationary, depth-degenerate stretches (e_pre = (1+g)e1 - g e2
     # has spectral radius 1 instead of 2). Deliberate, documented deviation.
     velocity_damping: float = 1.0
+    # Physical-plausibility gate on the per-frame solve: a solved pose
+    # farther than this from the (KF-re-anchored, EMA-velocity) prediction
+    # exceeds any real camera motion at 20 Hz — the solve jumped to a
+    # mis-structured attractor (points created during a slip). Coast on
+    # the prediction for that frame instead.
+    max_jump_trans: float = 0.15     # meters/frame (V1_03 max is 0.089)
+    max_jump_rot_deg: float = 8.0    # deg/frame (V1_03 max is 3.7)
+    max_coast_frames: int = 2        # consecutive coasts before accepting
+    # Per-frame GMM structure anchoring in the final pose solve
+    # (capability extension; see pose_solver.optimize_pose_anchored).
+    use_gmm_pose_anchor: bool = True
+    anchor_lambda2: float = 400.0   # deg-edge info scale (x z^2), cf tri_lambda2
+    anchor_chi2_gate: float = 2.56  # = tri_str_thresh * tri_lambda2
+    anchor_min_edges: int = 10
+    # EMA smoothing of the constant-velocity motion model: vel(n) =
+    # slerp(vel(n-1), delta(n), velocity_ema). Raw frame-differencing
+    # (ema=1.0, the reference behavior, gmmloc.cpp:288) DIFFERENTIATES the
+    # per-frame solve noise: along weakly-observable pose directions (all
+    # visible landmarks at similar depth -> lateral translation and a tiny
+    # compensating rotation are near-invisible) the extrapolation doubles
+    # the invisible error every frame and tracking runs away. Averaging
+    # the velocity breaks that feedback with sub-frame prediction lag.
+    velocity_ema: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -172,7 +195,10 @@ class CapacityConfig:
     local_ba_kfs: int = 32       # local (free) keyframes in one BA window
     fixed_ba_kfs: int = 64       # fixed observer keyframes
     local_ba_points: int = 8192
-    ba_obs_per_point: int = 12   # per-point obs slots inside one BA window
+    # per-point obs slots inside one BA window. Measured occupancy on the
+    # protocol runs: mean 2.3, p95 4.2, zero points at 12 — 8 keeps slack
+    # while cutting the dominant (P,MO,·) BA traffic by a third.
+    ba_obs_per_point: int = 8
     gmm_components_pad: int = 5120   # padded K (v1:3299, v2:5096 -> 5120)
 
 

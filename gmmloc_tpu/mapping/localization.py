@@ -41,6 +41,8 @@ class Localization:
         self.assoc = associator
         self.queue: List[int] = []
         self.candidate_points: List[int] = []
+        # per-BA-solve shape/occupancy stats (host-side, for perf tuning)
+        self.ba_stats: List[dict] = []
         self.curr_kf: int = -1
         self.is_idle = True
         self.abort_ba = False
@@ -675,6 +677,15 @@ class Localization:
         obs_per_cam = np.bincount(
             obs_cam[:n_act][use_c].astype(np.int64), minlength=C
         )
+        n_obs_pt = use_c.sum(1)
+        self.ba_stats.append({
+            "L": L, "P": P, "MO": MO,
+            "n_local": n_local, "n_fixed": len(fixed), "n_pts": n_act,
+            "obs_mean": float(n_obs_pt.mean()) if n_act else 0.0,
+            "obs_p95": float(np.percentile(n_obs_pt, 95)) if n_act else 0.0,
+            "obs_max_hit": int((n_obs_pt >= MO).sum()),
+            "n_obs": int(n_obs_pt.sum()),
+        })
 
         # A local KF with almost no surviving observations is effectively
         # unconstrained — optimizing it lets it wander (observed r1: culled
@@ -746,6 +757,11 @@ class Localization:
         sel = pts_np[dgm]
         w.pt_type[sel] = dg_lut[w.pt_type[sel]].astype(w.pt_type.dtype)
         w.pt_assoc_comp[sel] = -1
+        w.pt_assoc_vetted[sel] = False
+        # associations that survived this BA pass are vetted for per-frame
+        # pose anchoring (tracker._gather_anchors)
+        keep = pts_np[w.pt_assoc_comp[pts_np] >= 0]
+        w.pt_assoc_vetted[keep] = True
 
         # erase outlier observations (:857-894) — host surgery over the
         # (few) flagged entries only

@@ -99,6 +99,10 @@ class MapState:
         self.pt_obs_kf = np.full((MP, MO), -1, np.int32)
         self.pt_obs_feat = np.full((MP, MO), -1, np.int32)
         self.pt_assoc_comp = np.full(MP, -1, np.int32)   # GMM 3D comp id
+        # association survived >=1 joint-BA pass (anchor-trust gate: the
+        # async mapping thread may not have vetted a fresh KF's
+        # associations yet; per-frame pose anchors only use vetted ones)
+        self.pt_assoc_vetted = np.zeros(MP, bool)
         self.pt_type = np.full(MP, PT_FROM_DEPTH, np.int8)
         self.pt_replaced_by = np.full(MP, -1, np.int32)
         self.pt_last_visible_idx = np.full(MP, -1, np.int64)
@@ -166,6 +170,7 @@ class MapState:
         self.pt_obs_kf[p] = -1
         self.pt_obs_feat[p] = -1
         self.pt_assoc_comp[p] = -1
+        self.pt_assoc_vetted[p] = False
         self.pt_type[p] = PT_FROM_DEPTH
         self.pt_replaced_by[p] = -1
         self.pt_last_visible_idx[p] = -1

@@ -33,7 +33,10 @@ class GMMLocSystem:
         self.gmap = gmap
         self.world = ms.MapState(cfg)
         self.assoc = GMMAssociator(cfg, self.cam, gmap)
-        self.tracker = Tracker(cfg, self.cam, self.world)
+        self.tracker = Tracker(
+            cfg, self.cam, self.world,
+            gmm_views=mixture.host_view(gmap),
+        )
         self.localizer = Localization(cfg, self.cam, self.world, self.assoc)
         self.relocalizer = None
         self.loop_closer = None
@@ -56,6 +59,9 @@ class GMMLocSystem:
         self.last_frame: Optional[Frame] = None
         self.curr_keyframe: int = -1
         self.n_tracked = 0
+        # EMA-smoothed constant-velocity model (see TrackingConfig.velocity_ema)
+        self.vel_q: Optional[np.ndarray] = None
+        self.vel_t: Optional[np.ndarray] = None
         self.track_failed = False   # fatal: no recovery path available
         self.lost = False           # recoverable: awaiting relocalization
         self.n_lost = 0             # lifetime count of lost frames
@@ -94,19 +100,30 @@ class GMMLocSystem:
             q_cw = gt_q_wc * np.array([1.0, -1, -1, -1])
             t_cw = -ms._quat_to_mat(q_cw) @ gt_t_wc
             frame.set_pose(q_cw, t_cw)
+            self.vel_q = self.vel_t = None
         elif self.last_frame is None or frame.idx == 1:
             frame.set_pose(self.curr_frame.q_cw, self.curr_frame.t_cw)
+            self.vel_q = self.vel_t = None
         else:
-            # delta = T_curr * T_last^-1 ; init = delta * T_curr
-            # (optionally damped — see TrackingConfig.velocity_damping)
+            # delta = T_curr * T_last^-1 ; init = vel * T_curr
+            # (optionally EMA-smoothed/damped — TrackingConfig)
             ql_wc, tl_wc = ms._inverse(self.last_frame.q_cw, self.last_frame.t_cw)
             dq, dt = ms._compose(self.curr_frame.q_cw, self.curr_frame.t_cw, ql_wc, tl_wc)
+            a = self.cfg.tracking.velocity_ema
+            if a < 1.0 and self.vel_q is not None:
+                # nlerp toward the new delta (deltas are small per frame)
+                if np.dot(self.vel_q, dq) < 0:
+                    dq = -dq
+                dq = (1.0 - a) * self.vel_q + a * dq
+                dq /= np.linalg.norm(dq)
+                dt = (1.0 - a) * self.vel_t + a * dt
             g = self.cfg.tracking.velocity_damping
             if g < 1.0:
                 dt = dt * g
                 dq = dq.copy()
                 dq[1:] *= g  # shrink rotation toward identity
                 dq /= np.linalg.norm(dq)
+            self.vel_q, self.vel_t = dq.copy(), dt.copy()
             q, t = ms._compose(dq, dt, self.curr_frame.q_cw, self.curr_frame.t_cw)
             frame.set_pose(q, t)
 
@@ -186,6 +203,7 @@ class GMMLocSystem:
         # break the constant-velocity chain across the gap
         self.last_frame = None
         self.curr_frame = frame
+        self.vel_q = self.vel_t = None
         self.lost = False
         return True
 
@@ -231,7 +249,7 @@ class GMMLocSystem:
             if not stat.res:
                 self.track_failed = True
                 return stat
-            if self.need_new_keyframe(stat):
+            if self.need_new_keyframe(stat) and not self.tracker.dbg.get("coasted"):
                 kf = self.process_keyframe(frame)
                 self.curr_keyframe = kf
                 if self.online is not None:

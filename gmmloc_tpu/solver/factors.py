@@ -110,6 +110,28 @@ def pt2plane_residual(x, mean, normal):
     return jnp.einsum("...i,...i->...", x - mean, normal)
 
 
+def anchor_point_world(q_cw, t_cw, x_c):
+    """World position of a camera-frame-measured point under T_cw:
+    x_w = R_cw^T (x_c - t_cw). Returns (x_w, R_wc)."""
+    R_cw = se3.quat_to_matrix(q_cw)
+    R_wc = jnp.swapaxes(R_cw, -1, -2)
+    x_w = jnp.einsum("...ij,...j->...i", R_wc, x_c - t_cw)
+    return x_w, R_wc
+
+
+def anchor_jac_pose(R_wc, x_c):
+    """d x_w / d xi for left-multiplicative update of T_cw:
+    x_w(xi) = T_wc exp(-xi) x_c  =>  J = R_wc [skew(x_c) | -I]  (...,3,6).
+
+    This is the pose-side counterpart of the reference's point-side
+    structure edges (EdgePt2Gaussian{,Deg}, factors.cpp:5-17,55-64): the
+    measured camera-frame point is fixed and the POSE carries it onto the
+    prior-map component (per-frame structure-consistent tracking)."""
+    sk = se3.skew(x_c)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=x_c.dtype), x_c.shape[:-1] + (3, 3))
+    return jnp.einsum("...ij,...jk->...ik", R_wc, jnp.concatenate([sk, -eye], -1))
+
+
 # ---------------------------------------------------------------------------
 # SE3 prior factor
 # ---------------------------------------------------------------------------

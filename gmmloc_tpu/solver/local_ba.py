@@ -176,7 +176,7 @@ def _prior_terms(prob: BAProblem, cam_q, cam_t, rot_info, trans_info):
     static_argnames=(
         "cam", "n_free", "ba_lambda2", "tri_str_thresh",
         "prior_rot_info", "prior_trans_info",
-        "iters1", "iters2", "iters3", "term_gain",
+        "iters1", "iters2", "iters3", "term_gain", "use_bf16",
     ),
 )
 def solve_local_ba(
@@ -191,6 +191,7 @@ def solve_local_ba(
     iters2: int = 5,
     iters3: int = 40,
     term_gain: float = 1e-6,
+    use_bf16: bool = True,
 ) -> BAResult:
     L = n_free
     P, MO = prob.obs_cam.shape
@@ -230,16 +231,29 @@ def solve_local_ba(
         hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
         w = prob.obs_sigma2_inv * hw * active_obs.astype(dtype)   # (P,MO)
 
+        # bf16 staging for the heavy (P,MO,·) einsums — inputs in bfloat16,
+        # accumulation in f32 on the MXU. The Hessian blocks become mildly
+        # approximate (a preconditioner-quality change; the LM accept test
+        # uses the exact f32 cost), halving the dominant HBM traffic.
+        if use_bf16:
+            bf = jnp.bfloat16
+            Jcb, Jpb = Jc.astype(bf), Jp.astype(bf)
+            wb, rb = w.astype(bf), r.astype(bf)
+            ohb = onehot.astype(bf)
+        else:
+            Jcb, Jpb, wb, rb, ohb = Jc, Jp, w, r, onehot
+        ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+
         # point blocks (dense per-point reductions over MO)
-        H_pp = jnp.einsum("pmai,pm,pmaj->pij", Jp, w, Jp)
-        b_p = jnp.einsum("pmai,pm,pma->pi", Jp, w, r)
+        H_pp = ein("pmai,pm,pmaj->pij", Jpb, wb, Jpb)
+        b_p = ein("pmai,pm,pma->pi", Jpb, wb, rb)
         H_str, b_str, _ = _gmm_terms(prob, pts, ba_lambda2, active_str)
         H_pp = H_pp + jnp.where(prob.pt_valid[:, None, None], H_str, 0.0)
         b_p = b_p + jnp.where(prob.pt_valid[:, None], b_str, 0.0)
 
         # camera blocks via one-hot einsum (no scatters)
-        H_cc = jnp.einsum("pmai,pm,pmaj,pml->lij", Jc, w, Jc, onehot)
-        b_c = jnp.einsum("pmai,pm,pma,pml->li", Jc, w, r, onehot)
+        H_cc = ein("pmai,pm,pmaj,pml->lij", Jcb, wb, Jcb, ohb)
+        b_c = ein("pmai,pm,pma,pml->li", Jcb, wb, rb, ohb)
         H_pri, b_pri, _ = _prior_terms(
             prob, cam_q, cam_t, prior_rot_info, prior_trans_info
         )
@@ -247,7 +261,7 @@ def solve_local_ba(
         b_c = b_c.at[0].add(b_pri)
 
         # camera-point coupling U[p,l] = sum_m Jc^T W Jp
-        U = jnp.einsum("pmai,pm,pmaj,pml->plij", Jc, w, Jp, onehot)  # (P,L,6,3)
+        U = ein("pmai,pm,pmaj,pml->plij", Jcb, wb, Jpb, ohb)  # (P,L,6,3)
 
         # LM damping (multiplicative block-diagonal)
         eyep = jnp.eye(3, dtype=dtype)

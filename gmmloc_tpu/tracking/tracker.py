@@ -42,10 +42,19 @@ class TrackStat:
 
 
 class Tracker:
-    def __init__(self, cfg: SystemConfig, cam: cam_mod.CameraParams, world: MapState):
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        cam: cam_mod.CameraParams,
+        world: MapState,
+        gmm_views: Optional[dict] = None,
+    ):
         self.cfg = cfg
         self.cam = cam
         self.world = world
+        # host views of the prior GMM (means/normal/sqrt_info/is_degenerated)
+        # for per-frame structure anchoring; None disables the anchor path
+        self.gmm_views = gmm_views
         self.last_frame: Optional[Frame] = None
         self.ref_keyframe: int = -1
         self.local_keyframes: List[int] = []
@@ -55,6 +64,7 @@ class Tracker:
         # per-frame debug counters (host-side, negligible cost): filled by
         # the track paths, consumed by tools/diagnose_seq.py
         self.dbg: dict = {}
+        self._coast_streak = 0
         pyr = world.pyr
         self.scale_factors = pyr["scale_factors"]
         self.sigma2_inv = pyr["sigma2_inv"]
@@ -103,6 +113,7 @@ class Tracker:
         self.stat.num_match_inliers = self._track_local_map(frame)
         sel = frame.mappoint[frame.mappoint >= 0]
         self.dbg["n_gmm_inliers"] = int((w.pt_assoc_comp[sel] >= 0).sum())
+        self._plausibility_gate(frame)
 
         # map-coverage ratio over near-depth features (tracking.cpp:86-103)
         near = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
@@ -185,7 +196,7 @@ class Tracker:
         )
         return np.stack([u, v], -1), ur, z, inside
 
-    def _run_pose_opt(self, frame: Frame) -> int:
+    def _run_pose_opt(self, frame: Frame, anchored: bool = False) -> int:
         w = self.world
         has_pt = frame.mappoint >= 0
         idx = np.where(has_pt)[0]
@@ -193,7 +204,7 @@ class Tracker:
         if len(idx):
             x_w[idx] = w.pt_pos[frame.mappoint[idx]]
         obs_uvr = np.concatenate([frame.uv, frame.ur[:, None]], -1)
-        res = pose_solver.optimize_pose(
+        base_args = (
             self.cam,
             jnp.array(frame.q_cw, jnp.float32),
             jnp.array(frame.t_cw, jnp.float32),
@@ -202,12 +213,98 @@ class Tracker:
             jnp.array(frame.ur >= 0),
             jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
             jnp.array(has_pt & frame.valid),
-            rounds=self.cfg.loc.pose_opt_rounds,
-            iters=self.cfg.loc.pose_opt_iters,
         )
+        anc = self._gather_anchors(frame) if anchored else None
+        if anc is not None:
+            res = pose_solver.optimize_pose_anchored(
+                *base_args,
+                *anc,
+                jnp.float32(self.cfg.tracking.anchor_chi2_gate),
+                rounds=self.cfg.loc.pose_opt_rounds,
+                iters=self.cfg.loc.pose_opt_iters,
+            )
+            self.dbg["n_anchors"] = int(res.num_anchors)
+        else:
+            res = pose_solver.optimize_pose(
+                *base_args,
+                rounds=self.cfg.loc.pose_opt_rounds,
+                iters=self.cfg.loc.pose_opt_iters,
+            )
         frame.set_pose(np.asarray(res.q, np.float64), np.asarray(res.t, np.float64))
         frame.is_outlier = np.array(res.is_outlier)
         return int(res.num_inliers)
+
+    def _gather_anchors(self, frame: Frame):
+        """Per-frame GMM structure anchors: tracked features whose map
+        point carries a component association and which have a stereo
+        depth measurement this frame. Returns jnp args or None."""
+        gv = self.gmm_views
+        if gv is None or not self.cfg.tracking.use_gmm_pose_anchor:
+            return None
+        w = self.world
+        N = frame.feat_cap
+        p = frame.mappoint
+        ok = (p >= 0) & frame.valid & (frame.depth > 0)
+        pc_ = np.clip(p, 0, None)
+        comp = np.where(ok & w.pt_assoc_vetted[pc_], w.pt_assoc_comp[pc_], -1)
+        ok &= comp >= 0
+        if int(ok.sum()) < self.cfg.tracking.anchor_min_edges:
+            return None
+        k = np.maximum(comp, 0)
+        z = np.where(ok, frame.depth, 1.0)
+        xc = np.stack(
+            [
+                (frame.uv[:, 0] - self.cam.cx) / self.cam.fx * z,
+                (frame.uv[:, 1] - self.cam.cy) / self.cam.fy * z,
+                z,
+            ],
+            -1,
+        ).astype(np.float32)
+        deg = gv["is_degenerated"][k]
+        anc_type = np.where(
+            ok, np.where(deg, pose_solver.ANCHOR_DEG, pose_solver.ANCHOR_NONDEG), 0
+        ).astype(np.int32)
+        # deg info = lambda2 * z^2 (z clamped >= 1, cf gmmloc_opt.cpp:171-174);
+        # nondeg edges carry their scale in sqrt_info
+        zc = np.maximum(z, 1.0)
+        weight = np.where(
+            deg, self.cfg.tracking.anchor_lambda2 * zc * zc, 1.0
+        ).astype(np.float32)
+        return (
+            jnp.array(xc),
+            jnp.array(gv["means"][k], jnp.float32),
+            jnp.array(gv["normal"][k], jnp.float32),
+            jnp.array(gv["sqrt_info"][k], jnp.float32),
+            jnp.array(anc_type),
+            jnp.array(weight),
+        )
+
+    def _plausibility_gate(self, frame: Frame) -> None:
+        """Reject a solved pose beyond physical per-frame motion limits
+        relative to the prediction (see TrackingConfig.max_jump_*): coast
+        on the prediction for this frame. At most max_coast consecutive
+        frames — if the solve keeps disagreeing, the prediction chain is
+        the wrong side and freezing on it starves the map (observed:
+        coast-forever collapsed V1_03 to 15 KFs and lost tracking)."""
+        qp = self.dbg.get("q_pred")
+        tp = self.dbg.get("t_pred")
+        if qp is None:
+            return
+        cfg = self.cfg.tracking
+        # camera-center displacement (world frame)
+        _, c_pred = _inverse(qp, tp)
+        _, c_post = _inverse(frame.q_cw, frame.t_cw)
+        dt = float(np.linalg.norm(c_post - c_pred))
+        dq = abs(float(np.dot(qp, frame.q_cw)))
+        drot = float(np.degrees(2 * np.arccos(min(1.0, dq))))
+        if (dt > cfg.max_jump_trans or drot > cfg.max_jump_rot_deg) and (
+            self._coast_streak < cfg.max_coast_frames
+        ):
+            frame.set_pose(qp, tp)
+            self.dbg["coasted"] = True
+            self._coast_streak += 1
+        else:
+            self._coast_streak = 0
 
     def _discard_outliers(self, frame: Frame) -> int:
         """Post-solve outlier stripping (tracking.cpp:355-377).
@@ -237,7 +334,12 @@ class Tracker:
             self.dbg["n_motion_match"] = n
         if n < self.cfg.tracking.min_matches_motion:
             return 0
-        self._run_pose_opt(frame)
+        m = frame.mappoint[frame.mappoint >= 0]
+        self.dbg["n_tmp_edges"] = int((w.pt_n_obs[m] < 1).sum())
+        self.dbg["n_per_edges"] = int((w.pt_n_obs[m] >= 1).sum())
+        self.dbg["q_pred"] = frame.q_cw.copy()
+        self.dbg["t_pred"] = frame.t_cw.copy()
+        self._run_pose_opt(frame, anchored=True)
         return self._discard_outliers(frame)
 
     def _search_frame_to_frame(self, frame: Frame, th: float) -> int:
@@ -305,7 +407,7 @@ class Tracker:
         if n < 15:
             return 0
         frame.set_pose(self.last_frame.q_cw, self.last_frame.t_cw)
-        self._run_pose_opt(frame)
+        self._run_pose_opt(frame, anchored=True)
         return self._discard_outliers(frame)
 
     # ------------------------------------------------------------------
@@ -431,9 +533,9 @@ class Tracker:
         frame.mappoint[match[qi]] = cand[qi]
 
     def _track_local_map(self, frame: Frame) -> int:
-        """tracking.cpp:269-294."""
+        """tracking.cpp:269-294 (+ per-frame GMM structure anchors)."""
         w = self.world
-        self._run_pose_opt(frame)
+        self._run_pose_opt(frame, anchored=True)
         has = (frame.mappoint >= 0) & frame.valid
         inl = has & ~frame.is_outlier
         np.add.at(w.pt_num_found, frame.mappoint[inl], 1)

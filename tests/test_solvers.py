@@ -315,3 +315,103 @@ def test_local_ba_drops_wrong_plane_assoc(rng):
     drop = np.asarray(res.str_drop)
     assert drop[5]
     assert drop.sum() <= 3
+
+
+# ---------------------------------------------------------------------------
+# per-frame GMM pose anchors (pose_solver.optimize_pose_anchored)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_jacobian_matches_autodiff(rng):
+    q = se3.so3_exp(jnp.array(rng.standard_normal(3) * 0.2))
+    t = jnp.array(rng.standard_normal(3) * 0.4)
+    x_c = jnp.array(rng.uniform(-1, 1, (6, 3)) + np.array([0, 0, 4.0]))
+
+    def xw(xi):
+        qq, tt = se3.boxplus(q, t, xi)
+        out, _ = factors.anchor_point_world(qq, tt, x_c)
+        return out
+
+    J_ad = jax.jacfwd(xw)(jnp.zeros(6))
+    _, R_wc = factors.anchor_point_world(q, t, x_c)
+    J = factors.anchor_jac_pose(jnp.broadcast_to(R_wc, (6, 3, 3)), x_c)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), rtol=1e-4, atol=1e-5)
+
+
+def _anchored_args(rng, n=120, n_anchor=60):
+    """Scene + anchors consistent with the GT pose."""
+    q_gt, t_gt, x_w, uvr = make_scene(rng, n)
+    stereo = jnp.ones(n, bool)
+    # anchors: stereo-measured camera points = GT camera coords of the
+    # first n_anchor landmarks; components centered at the landmarks
+    pc = se3.apply(q_gt, t_gt, x_w[:n_anchor])
+    anc_xc = jnp.zeros((n, 3)).at[:n_anchor].set(pc)
+    anc_mean = jnp.zeros((n, 3)).at[:n_anchor].set(x_w[:n_anchor])
+    normal = jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1))
+    sqrt_info = jnp.tile(jnp.eye(3) * 20.0, (n, 1, 1))
+    half = n_anchor // 2
+    anc_type = jnp.zeros(n, jnp.int32)
+    anc_type = anc_type.at[:half].set(pose_solver.ANCHOR_DEG)
+    anc_type = anc_type.at[half:n_anchor].set(pose_solver.ANCHOR_NONDEG)
+    weight = jnp.where(anc_type == pose_solver.ANCHOR_DEG, 400.0, 1.0)
+    return q_gt, t_gt, x_w, uvr, stereo, (
+        anc_xc, anc_mean, normal, sqrt_info, anc_type, weight
+    )
+
+
+def test_anchored_pose_matches_plain_without_anchors(rng):
+    q_gt, t_gt, x_w, uvr, stereo, anc = _anchored_args(rng)
+    n = x_w.shape[0]
+    xi = jnp.array(rng.standard_normal(6) * 0.01)
+    q0, t0 = se3.boxplus(q_gt, t_gt, xi)
+    s2i = jnp.ones(n)
+    valid = jnp.ones(n, bool)
+    r1 = pose_solver.optimize_pose(CAM, q0, t0, x_w, uvr, stereo, s2i, valid)
+    none_type = jnp.zeros(n, jnp.int32)
+    r2 = pose_solver.optimize_pose_anchored(
+        CAM, q0, t0, x_w, uvr, stereo, s2i, valid,
+        anc[0], anc[1], anc[2], anc[3], none_type, anc[5], jnp.float32(2.56),
+    )
+    np.testing.assert_allclose(np.asarray(r1.q), np.asarray(r2.q), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r2.t), atol=1e-6)
+    assert int(r2.num_anchors) == 0
+
+
+def test_anchored_pose_recovers_weak_direction(rng):
+    """A lateral-translation + compensating-rotation offset that the
+    reprojection edges barely see must be pulled back by the anchors."""
+    q_gt, t_gt, x_w, uvr, stereo, anc = _anchored_args(rng, n=160, n_anchor=120)
+    n = x_w.shape[0]
+    # weak-direction perturbation: translate +x by 5cm, rotate about y by
+    # -dx/z_avg so projections nearly cancel
+    z_avg = float(jnp.mean(se3.apply(q_gt, t_gt, x_w)[:, 2]))
+    dx = 0.05
+    xi = jnp.array([0.0, -dx / z_avg, 0.0, dx, 0.0, 0.0])
+    q0, t0 = se3.boxplus(q_gt, t_gt, xi)
+    s2i = jnp.ones(n)
+    valid = jnp.ones(n, bool)
+
+    res = pose_solver.optimize_pose_anchored(
+        CAM, q0, t0, x_w, uvr, stereo, s2i, valid, *anc, jnp.float32(2.56),
+    )
+    e0 = float(jnp.linalg.norm(t0 - t_gt))
+    e1 = float(jnp.linalg.norm(res.t - t_gt))
+    assert int(res.num_anchors) > 50
+    assert e1 < 0.25 * e0, (e0, e1)
+
+
+def test_local_ba_bf16_matches_f32(rng):
+    """bf16-staged Hessian assembly must converge to the same optimum as
+    the f32 path (approximate preconditioner, exact cost/accept)."""
+    prob, q_gt, t_gt, pts_gt, _, O = build_ba_problem(rng)
+    pert = jnp.array(rng.standard_normal(prob.pts.shape) * 0.03)
+    prob = prob._replace(pts=prob.pts + pert)
+    r32 = local_ba.solve_local_ba(CAM, prob, n_free=4, iters3=20, use_bf16=False)
+    r16 = local_ba.solve_local_ba(CAM, prob, n_free=4, iters3=20, use_bf16=True)
+    for c in range(4):
+        err = se3.log(*se3.compose(
+            *se3.inverse(r32.cam_q[c], r32.cam_t[c]), r16.cam_q[c], r16.cam_t[c]
+        ))
+        assert float(jnp.linalg.norm(err)) < 2e-3, f"cam {c}: {err}"
+    d = np.linalg.norm(np.asarray(r16.pts) - np.asarray(r32.pts), axis=-1)
+    assert np.median(d) < 5e-3, np.median(d)

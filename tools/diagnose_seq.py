@@ -89,9 +89,19 @@ def main():
             q_wc_est, t_wc_est = ms._inverse(frame.q_cw, frame.t_cw)
             terr = float(np.linalg.norm(t_wc_est - t_wc[i])) * 100
             rerr = quat_angle_deg(frame.q_cw, q_gt_cw)
+            # error vector in the GT camera frame (x right, y down, z fwd)
+            ecam = ms._quat_to_mat(q_gt_cw) @ (t_wc_est - t_wc[i]) * 100
         else:
             terr, rerr = -1.0, -1.0
+            ecam = np.full(3, -1.0)
         dbg = sys_.tracker.dbg
+        if "t_pred" in dbg and stat.res:
+            tp_err = float(
+                np.linalg.norm(ms._inverse(dbg["q_pred"], dbg["t_pred"])[1] - t_wc[i])
+            ) * 100
+            rp_err = quat_angle_deg(dbg["q_pred"], q_gt_cw)
+        else:
+            tp_err, rp_err = -1.0, -1.0
         rows.append(
             (i, int(stat.res), int(sys_.lost), terr, rerr,
              stat.num_match_inliers, stat.ratio_map,
@@ -100,7 +110,10 @@ def main():
              dbg.get("n_motion_match", -1),
              int(dbg.get("used_wide_retry", False)),
              int(dbg.get("used_kf_fallback", False)),
-             dbg.get("n_gmm_inliers", -1))
+             dbg.get("n_gmm_inliers", -1),
+             tp_err, rp_err,
+             dbg.get("n_tmp_edges", -1), dbg.get("n_per_edges", -1),
+             ecam[0], ecam[1], ecam[2], int(dbg.get("coasted", False)))
         )
         if sys_.track_failed:
             print(f"FATAL tracking failure at frame {i}")
@@ -113,7 +126,8 @@ def main():
     wall = time.time() - t0
     with open(args.out, "w") as f:
         f.write("frame,res,lost,terr_cm,rerr_deg,inliers,ratio_map,kfs,is_kf,"
-                "ref_kf,n_motion,wide_retry,kf_fallback,n_gmm_inl\n")
+                "ref_kf,n_motion,wide_retry,kf_fallback,n_gmm_inl,"
+                "tpred_cm,rpred_deg,n_tmp,n_per,ex_cm,ey_cm,ez_cm,coasted\n")
         for r in rows:
             f.write(",".join(str(x) for x in r) + "\n")
 
@@ -123,6 +137,15 @@ def main():
     print(f"\n{len(rows)} frames ({len(done)} tracked) in {wall:.1f}s")
     print(f"ATE rmse={m['rmse']*100:.2f}cm mean={m['mean']*100:.2f}cm n={m['n']}")
     print(f"n_lost={sys_.n_lost}  csv={args.out}")
+    bs = sys_.localizer.ba_stats
+    if bs:
+        import collections
+        tiers = collections.Counter((b["L"], b["P"]) for b in bs)
+        om = np.array([b["obs_mean"] for b in bs])
+        op = np.array([b["obs_p95"] for b in bs])
+        print(f"BA solves={len(bs)} tiers={dict(tiers)} "
+              f"obs/pt mean={om.mean():.2f} p95={op.mean():.2f} "
+              f"MO-hit={sum(b['obs_max_hit'] for b in bs)}")
 
 
 if __name__ == "__main__":
