@@ -144,7 +144,7 @@ def main():
     detail["search_corr_ms"] = t_assoc * 1e3
 
     # ---- per-keyframe local BA (production window shape) ---------------
-    L, C, P, MO = 16, 48, 8192, 12
+    L, C, P, MO = 16, 48, 8192, cfg.caps.ba_obs_per_point
     cam_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (C, 1))
     cam_t = np.zeros((C, 3), np.float32)
     cam_t[:, 0] = np.arange(C) * 0.05

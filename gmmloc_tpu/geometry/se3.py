@@ -231,6 +231,13 @@ def adjoint(q, t):
 
 
 def boxplus(q, t, xi):
-    """Left-multiplicative update: exp(xi) * (q,t) — the GN pose update."""
+    """Left-multiplicative update: exp(xi) * (q,t) — the GN pose update.
+
+    The composed quaternion is renormalized: solver iteration chains in
+    f32 (and bf16-staged paths) drift the norm, and downstream
+    quat_to_matrix assumes unit quaternions.
+    """
     dq, dt = exp(xi)
-    return compose(dq, dt, q, t)
+    qn, tn = compose(dq, dt, q, t)
+    qn = qn / jnp.linalg.norm(qn, axis=-1, keepdims=True)
+    return qn, tn

@@ -43,7 +43,10 @@ class GMMLocSystem:
         if vocabulary is not None and cfg.enable_relocalization:
             from ..tracking.relocalize import Relocalizer
 
-            self.relocalizer = Relocalizer(cfg, self.cam, self.world, vocabulary)
+            self.relocalizer = Relocalizer(
+                cfg, self.cam, self.world, vocabulary,
+                gmm_views=mixture.host_view(gmap), gmap=gmap,
+            )
             if cfg.enable_loop_closing:
                 from ..mapping.loop_closing import LoopCloser
 

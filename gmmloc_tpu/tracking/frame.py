@@ -47,7 +47,13 @@ class Frame:
         return int(self.valid.sum())
 
     def set_pose(self, q_cw, t_cw):
-        self.q_cw = np.asarray(q_cw, dtype=np.float64)
+        # Renormalize at the host boundary: device solvers (f32/bf16
+        # staging) return quaternions with up to ~0.5% norm error, and
+        # quat_to_mat/_inverse assume unit norm — un-normalized poses
+        # compound into ~1% rotation-matrix error and phantom
+        # rotation-error readings in the diagnostics.
+        q = np.asarray(q_cw, dtype=np.float64)
+        self.q_cw = q / np.linalg.norm(q)
         self.t_cw = np.asarray(t_cw, dtype=np.float64)
 
 

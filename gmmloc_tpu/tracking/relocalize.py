@@ -32,15 +32,62 @@ class Relocalizer:
         world: MapState,
         voc: Vocabulary,
         min_inliers: int = 30,
+        gmm_views: Optional[dict] = None,
+        gmap=None,
+        gmm_consistency_min: float = 0.25,
     ):
         self.cfg = cfg
         self.cam = cam
         self.world = world
         self.db = KeyFrameDatabase(voc)
         self.min_inliers = min_inliers
+        # prior-map consistency check for recovered poses: the keyframe
+        # database can contain drift-corrupted keyframes (a slipped run
+        # keeps inserting), so inlier count alone accepted poses metres
+        # off. The prior GMM is globally fixed — require a minimum
+        # fraction of the frame's stereo points to be Mahalanobis-
+        # consistent with their nearest component at the recovered pose.
+        self.gmm_views = gmm_views
+        self.gmap = gmap
+        self.gmm_consistency_min = gmm_consistency_min
         pyr = world.pyr
         self.sigma2_inv = pyr["sigma2_inv"]
         self.last_stats: list = []  # per-candidate (kf, n_match, n_inlier)
+
+    def _gmm_consistent(self, frame: Frame, q_cw, t_cw) -> bool:
+        if self.gmap is None or self.gmm_views is None:
+            return True
+        from ..gmm import render as render_mod
+        from ..mapping import map_state as ms
+
+        sel = np.where(frame.valid & (frame.depth > 0))[0]
+        if len(sel) < 20:
+            return True  # not enough stereo evidence to judge
+        if len(sel) > 512:
+            sel = sel[:: len(sel) // 512 + 1]
+        z = frame.depth[sel]
+        uv = frame.uv[sel]
+        pc = np.stack(
+            [
+                (uv[:, 0] - self.cam.cx) / self.cam.fx * z,
+                (uv[:, 1] - self.cam.cy) / self.cam.fy * z,
+                z,
+            ],
+            -1,
+        )
+        q_wc, t_wc = ms._inverse(q_cw, t_cw)
+        pw = pc @ ms._quat_to_mat(q_wc).T + t_wc
+        nearest = np.asarray(
+            render_mod.query_point_3d(
+                self.gmap, jnp.array(pw, jnp.float32), jnp.ones(len(pw), bool)
+            )
+        )
+        k = np.maximum(nearest, 0)
+        d = pw - self.gmm_views["means"][k]
+        chi2 = np.einsum("ni,nij,nj->n", d, self.gmm_views["cov_inv"][k], d)
+        frac = float((chi2 < 16.0).mean())
+        self.last_stats.append(("gmm_frac", round(frac, 3)))
+        return frac >= self.gmm_consistency_min
 
     def add_keyframe(self, kf: int) -> None:
         w = self.world
@@ -97,6 +144,8 @@ class Relocalizer:
             pose_ok = bool(np.isfinite(q_new).all() and np.isfinite(t_new).all())
             self.last_stats.append((int(kf), n, int(res.num_inliers)))
             if pose_ok and int(res.num_inliers) >= self.min_inliers:
+                if not self._gmm_consistent(frame, q_new, t_new):
+                    continue
                 frame.set_pose(q_new, t_new)
                 frame.is_outlier = np.array(res.is_outlier)
                 for i in np.where(frame.mappoint >= 0)[0]:

@@ -41,11 +41,22 @@ def main():
     ap.add_argument("--reloc", type=int, default=1)
     ap.add_argument("--out", default="/tmp/diag.csv")
     ap.add_argument("--damping", type=float, default=0.9)
+    ap.add_argument("--ema", type=float, default=None)
+    ap.add_argument("--anchor", type=int, default=None)
+    ap.add_argument("--gate", type=int, default=None)
     args = ap.parse_args()
 
     cfg = euroc_v1_config()
+    tk = dict(velocity_damping=args.damping)
+    if args.ema is not None:
+        tk["velocity_ema"] = args.ema
+    if args.anchor is not None:
+        tk["use_gmm_pose_anchor"] = bool(args.anchor)
+    if args.gate is not None and not args.gate:
+        tk["max_jump_trans"] = 1e9
+        tk["max_jump_rot_deg"] = 1e9
     cfg = cfg.replace(
-        tracking=dataclasses.replace(cfg.tracking, velocity_damping=args.damping),
+        tracking=dataclasses.replace(cfg.tracking, **tk),
         enable_relocalization=bool(args.reloc),
     )
     gmm_path = synthetic.V2_GMM if args.seq.startswith("V2") else synthetic.V1_GMM
