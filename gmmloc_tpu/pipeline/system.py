@@ -23,6 +23,7 @@ from ..mapping import map_state as ms
 from ..mapping.association import GMMAssociator
 from ..mapping.localization import Localization
 from ..tracking.frame import Frame
+from ..utils.timing import Timer
 from ..tracking.tracker import Tracker, TrackStat
 
 
@@ -238,7 +239,8 @@ class GMMLocSystem:
             self.initialized = True
             stat = TrackStat(res=True, num_match_inliers=0, ratio_map=1.0)
         else:
-            stat = self.tracker.track(frame)
+            with Timer("track"):
+                stat = self.tracker.track(frame)
             if not stat.res and self.relocalizer is not None:
                 # capability extension: attempt relocalization instead of
                 # terminating (the reference breaks the loop here,
@@ -253,7 +255,8 @@ class GMMLocSystem:
                 self.track_failed = True
                 return stat
             if self.need_new_keyframe(stat) and not self.tracker.dbg.get("coasted"):
-                kf = self.process_keyframe(frame)
+                with Timer("kf/process"):
+                    kf = self.process_keyframe(frame)
                 self.curr_keyframe = kf
                 if self.online is not None:
                     self.online.insert_keyframe(kf)

@@ -171,12 +171,43 @@ def _prior_terms(prob: BAProblem, cam_q, cam_t, rot_info, trans_info):
     return H, b, cost
 
 
+def _pcg_solve(S, b, iters: int):
+    """Jacobi-preconditioned CG for the reduced camera system. LM accepts
+    inexact steps (the accept test uses the exact cost), and a fixed-count
+    CG of matvecs maps to the TPU far better than the sequential LU that
+    jnp.linalg.solve lowers to."""
+    d = jnp.diagonal(S)
+    Minv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+    x = jnp.zeros_like(b)
+    r = b
+    z = Minv * r
+    p = z
+    rz = jnp.dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Sp = S @ p
+        denom = jnp.dot(p, Sp)
+        alpha = jnp.where(jnp.abs(denom) < 1e-30, 0.0, rz / denom)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = Minv * r
+        rz_new = jnp.dot(r, z)
+        beta = jnp.where(jnp.abs(rz) < 1e-30, 0.0, rz_new / rz)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cam", "n_free", "ba_lambda2", "tri_str_thresh",
         "prior_rot_info", "prior_trans_info",
         "iters1", "iters2", "iters3", "term_gain", "use_bf16",
+        "schur_impl", "linear_solver", "cg_iters",
     ),
 )
 def solve_local_ba(
@@ -192,6 +223,9 @@ def solve_local_ba(
     iters3: int = 40,
     term_gain: float = 1e-6,
     use_bf16: bool = True,
+    schur_impl: str = "onehot",
+    linear_solver: str = "lu",
+    cg_iters: int = 48,
 ) -> BAResult:
     L = n_free
     P, MO = prob.obs_cam.shape
@@ -251,19 +285,11 @@ def solve_local_ba(
         H_pp = H_pp + jnp.where(prob.pt_valid[:, None, None], H_str, 0.0)
         b_p = b_p + jnp.where(prob.pt_valid[:, None], b_str, 0.0)
 
-        # camera blocks via one-hot einsum (no scatters)
-        H_cc = ein("pmai,pm,pmaj,pml->lij", Jcb, wb, Jcb, ohb)
-        b_c = ein("pmai,pm,pma,pml->li", Jcb, wb, rb, ohb)
         H_pri, b_pri, _ = _prior_terms(
             prob, cam_q, cam_t, prior_rot_info, prior_trans_info
         )
-        H_cc = H_cc.at[0].add(H_pri)
-        b_c = b_c.at[0].add(b_pri)
 
-        # camera-point coupling U[p,l] = sum_m Jc^T W Jp
-        U = ein("pmai,pm,pmaj,pml->plij", Jcb, wb, Jpb, ohb)  # (P,L,6,3)
-
-        # LM damping (multiplicative block-diagonal)
+        # LM damping on points (multiplicative block-diagonal)
         eyep = jnp.eye(3, dtype=dtype)
         H_pp_d = H_pp + lam * (
             jnp.einsum("pii->p", H_pp)[:, None, None] / 3.0 + 1e-9
@@ -272,20 +298,61 @@ def solve_local_ba(
             prob.pt_valid[:, None, None], H_pp_d, jnp.eye(3, dtype=dtype)
         )
         Hpp_inv, _ = _inv3(H_pp_d)
-
         eyec = jnp.eye(6, dtype=dtype)
-        H_cc_d = H_cc + lam * (
-            jnp.einsum("lii->l", H_cc)[:, None, None] / 6.0 + 1e-9
-        ) * eyec
 
-        # Schur reduction (MXU einsums over P)
-        T = jnp.einsum("plij,pjk->plik", U, Hpp_inv)              # (P,L,6,3)
-        S_red = -jnp.einsum("plij,pmkj->lmik", T, U)
-        S_red = S_red.at[jnp.arange(L), jnp.arange(L)].add(H_cc_d)
-        b_red = b_c - jnp.einsum("plij,pj->li", T, b_p)           # (L,6)
+        if schur_impl == "flat":
+            # Flattened-GEMM assembly: the camera-side reductions become
+            # large clean matmuls — Z[p, n, l*6+i] = onehot[p,m,l] *
+            # Jc[p,m,a,i] with n = m*3+a, so H_cc = Z^T W Z ((96, P·N) @
+            # (P·N, 96)), U = batched (P,96,N)@(P,N,3), and the Schur term
+            # is one (96, P·3)@(P·3, 96) GEMM. Bit-equal to the one-hot
+            # einsum path (same contractions, reshaped for MXU tiling).
+            N = MO * 3
+            Z = (ohb[:, :, None, :, None] * Jcb[:, :, :, None, :]).reshape(
+                P, N, L * 6
+            )
+            Wn = jnp.repeat(wb, 3, axis=-1).reshape(P, N)
+            Jpf = Jpb.reshape(P, N, 3)
+            rf = rb.reshape(P, N)
+            ZW = Z * Wn[..., None]
+            H_cc_full = ein("pnc,pnd->cd", ZW, Z)            # (6L,6L)
+            b_c_full = ein("pnc,pn->c", ZW, rf)              # (6L,)
+            Uf = ein("pnc,pnj->pcj", ZW, Jpf)                # (P,6L,3)
+
+            H_cc_full = H_cc_full.at[:6, :6].add(H_pri)
+            b_c_full = b_c_full.at[:6].add(b_pri)
+
+            Tf = ein("pcj,pjk->pck", Uf, Hpp_inv.astype(jnp.float32))
+            S_flat = H_cc_full - ein("pcj,pdj->cd", Tf, Uf)
+            # camera LM damping: per-6x6-block trace/6 on the diagonal
+            tr = jnp.einsum("cc->c", H_cc_full).reshape(L, 6).sum(-1)
+            S_flat = S_flat + jnp.diag(
+                jnp.repeat(lam * (tr / 6.0 + 1e-9), 6)
+            )
+            b_red = (b_c_full - ein("pcj,pj->c", Tf, b_p)).reshape(L, 6)
+        else:
+            # camera blocks via one-hot einsum (no scatters)
+            H_cc = ein("pmai,pm,pmaj,pml->lij", Jcb, wb, Jcb, ohb)
+            b_c = ein("pmai,pm,pma,pml->li", Jcb, wb, rb, ohb)
+            H_cc = H_cc.at[0].add(H_pri)
+            b_c = b_c.at[0].add(b_pri)
+
+            # camera-point coupling U[p,l] = sum_m Jc^T W Jp
+            U = ein("pmai,pm,pmaj,pml->plij", Jcb, wb, Jpb, ohb)  # (P,L,6,3)
+
+            H_cc_d = H_cc + lam * (
+                jnp.einsum("lii->l", H_cc)[:, None, None] / 6.0 + 1e-9
+            ) * eyec
+
+            # Schur reduction (MXU einsums over P)
+            T = jnp.einsum("plij,pjk->plik", U, Hpp_inv)          # (P,L,6,3)
+            S_red = -jnp.einsum("plij,pmkj->lmik", T, U)
+            S_red = S_red.at[jnp.arange(L), jnp.arange(L)].add(H_cc_d)
+            b_red = b_c - jnp.einsum("plij,pj->li", T, b_p)       # (L,6)
+            S_flat = S_red.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
+            Uf = U.reshape(P, L * 6, 3)
 
         fm = free_mask[:L]
-        S_flat = S_red.transpose(0, 2, 1, 3).reshape(L * 6, L * 6)
         diag_fix = jnp.repeat(~fm, 6)
         S_flat = jnp.where(
             diag_fix[:, None] | diag_fix[None, :],
@@ -294,11 +361,14 @@ def solve_local_ba(
         )
         b_flat = jnp.where(jnp.repeat(fm, 6), b_red.reshape(-1), 0.0)
 
-        dc = -jnp.linalg.solve(S_flat, b_flat).reshape(L, 6)
+        if linear_solver == "cg":
+            dc = -_pcg_solve(S_flat, b_flat, cg_iters).reshape(L, 6)
+        else:
+            dc = -jnp.linalg.solve(S_flat, b_flat).reshape(L, 6)
         dc = jnp.where(fm[:, None], dc, 0.0)
 
         # back-substitute points (gathers only)
-        rhs_p = b_p + jnp.einsum("plij,li->pj", U, dc)
+        rhs_p = b_p + jnp.einsum("pcj,c->pj", Uf, dc.reshape(-1))
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, rhs_p)
         dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
 

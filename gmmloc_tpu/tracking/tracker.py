@@ -28,6 +28,7 @@ from ..features import matching
 from ..geometry import camera as cam_mod
 from ..mapping.map_state import MapState, _inverse, _quat_to_mat
 from ..solver import pose_solver
+from ..utils.timing import Timer
 from . import fused
 from .frame import Frame
 
@@ -95,7 +96,8 @@ class Tracker:
 
         self.stat = TrackStat(res=True)
         self.dbg = {"path": "classic"}
-        n = self._track_with_motion_model(frame)
+        with Timer("track/motion"):
+            n = self._track_with_motion_model(frame)
         self.dbg["n_after_motion"] = n
         if n < self.cfg.tracking.min_matches_track:
             n = self._track_keyframe(frame)
@@ -108,9 +110,10 @@ class Tracker:
                 return self.stat
 
         frame.ref_kf = self.ref_keyframe
-        self._update_local_map(frame)
-        self._search_local_points(frame)
-        self.stat.num_match_inliers = self._track_local_map(frame)
+        with Timer("track/local"):
+            self._update_local_map(frame)
+            self._search_local_points(frame)
+            self.stat.num_match_inliers = self._track_local_map(frame)
         sel = frame.mappoint[frame.mappoint >= 0]
         self.dbg["n_gmm_inliers"] = int((w.pt_assoc_comp[sel] >= 0).sum())
         self._plausibility_gate(frame)
@@ -604,6 +607,7 @@ class Tracker:
             map_ok[:n_lp] = True
 
         th_local = 5.0 if frame.idx < 2 else self.cfg.tracking.local_search_radius
+        t_fused = Timer("track/fused_dispatch").start()
         res = fused.fused_track_step(
             cam,
             jnp.array(frame.q_cw, jnp.float32), jnp.array(frame.t_cw, jnp.float32),
@@ -624,12 +628,16 @@ class Tracker:
         )
 
         num_inliers = int(res.num_inliers)
+        t_fused.stop()
         if num_inliers < self.cfg.tracking.min_matches_track:
             frame.mappoint[:] = -1
             return None  # classic path (incl. trackKeyFrame fallback)
 
         fp = np.asarray(res.feat_point)
         fl = np.asarray(res.feat_from_local)
+        # prediction pose (EMA constant-velocity, set by the system before
+        # track()) — recorded for the plausibility gate below
+        q_pred, t_pred = frame.q_cw.copy(), frame.t_cw.copy()
         frame.set_pose(np.asarray(res.q, np.float64), np.asarray(res.t, np.float64))
         frame.is_outlier = np.array(res.is_outlier)
         frame.mappoint[:] = -1
@@ -659,7 +667,10 @@ class Tracker:
             "path": "fused",
             "n_motion_match": int(res.n_motion_matches),
             "n_gmm_inliers": int((w.pt_assoc_comp[selg] >= 0).sum()),
+            "q_pred": q_pred,
+            "t_pred": t_pred,
         }
+        self._plausibility_gate(frame)
 
         # local map refresh for the NEXT frame + reference KF + ratio_map
         self._update_local_map(frame)

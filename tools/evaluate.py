@@ -93,13 +93,26 @@ def main():
     ap.add_argument("--reloc", type=int, default=1,
                     help="1: enable BoW relocalization rescue (extension); "
                          "0: reference parity (terminate on loss)")
+    ap.add_argument("--fused", type=int, default=None,
+                    help="override tracking.use_fused_track")
+    ap.add_argument("--timing", action="store_true",
+                    help="print the named-scope timing table per run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pre-empts "
+                         "JAX_PLATFORMS env vars)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
     cfg = euroc_v1_config()
-    cfg = cfg.replace(
-        tracking=dataclasses.replace(cfg.tracking, velocity_damping=args.damping)
-    )
+    tk = dict(velocity_damping=args.damping)
+    if args.fused is not None:
+        tk["use_fused_track"] = bool(args.fused)
+    cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
     seqs = args.seqs.split(",") if args.seqs != "all" else ALL_SEQS
 
     results = {}
@@ -124,6 +137,11 @@ def main():
                 f"frames={m['frames']}/{m['target']} lost={m['lost']} "
                 f"fps={m['fps']:.2f} kfs={m['kfs']}", flush=True,
             )
+            if args.timing:
+                from gmmloc_tpu.utils import timing as timing_mod
+
+                print(timing_mod.print_table(), flush=True)
+                timing_mod.reset()
         rmses = [m["rmse"] for m in runs]
         results[seq] = {
             "rmse_mean": float(np.mean(rmses)),
