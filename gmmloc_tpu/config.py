@@ -114,6 +114,13 @@ class LocConfig:
     # LM early-termination relative-gain threshold (0 disables; g2o also
     # stops when chi2 improvement vanishes)
     ba_term_gain: float = 1e-6
+    # Schur camera-system assembly: "flat" (large clean GEMMs) or "onehot"
+    # (einsum with one-hot gathers); flat measured faster on TPU v5e
+    ba_schur_impl: str = "flat"
+    # reduced-system solve: "lu" (exact, sequential lowering) or "cg"
+    # (Jacobi-PCG matvecs; LM accepts inexact steps)
+    ba_linear_solver: str = "lu"
+    ba_cg_iters: int = 48
     # first-KF prior sigmas (localization_opt.cpp:568-573)
     prior_sigma_rot_deg: float = 2.0
     prior_sigma_trans: float = 0.01

@@ -731,6 +731,9 @@ class Localization:
             iters2=cfg.loc.ba_iters_stage2,
             iters3=cfg.loc.ba_iters_stage3,
             term_gain=cfg.loc.ba_term_gain,
+            schur_impl=cfg.loc.ba_schur_impl,
+            linear_solver=cfg.loc.ba_linear_solver,
+            cg_iters=cfg.loc.ba_cg_iters,
         )
 
         # write back poses/points, rejecting implausible jumps: a local-BA

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(rng, cam, L, C, P, MO):
+def build(rng, cam, L, C, P, MO, noise_px=0.5):
     import jax.numpy as jnp
 
     from gmmloc_tpu.solver import local_ba
@@ -42,6 +42,11 @@ def build(rng, cam, L, C, P, MO):
         ],
         -1,
     ).astype(np.float32)
+    # observation noise + a perturbed initial state: a noise-free problem
+    # converges in 1-2 LM iterations and under-reports the solve cost
+    uvr += rng.normal(0, noise_px, uvr.shape).astype(np.float32)
+    pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    cam_t = cam_t + rng.normal(0, 0.005, cam_t.shape).astype(np.float32)
     return local_ba.BAProblem(
         cam_q=jnp.array(cam_q), cam_t=jnp.array(cam_t),
         cam_valid=jnp.ones(C, bool),

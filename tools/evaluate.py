@@ -95,6 +95,12 @@ def main():
                          "0: reference parity (terminate on loss)")
     ap.add_argument("--fused", type=int, default=None,
                     help="override tracking.use_fused_track")
+    ap.add_argument("--anchor", type=int, default=None,
+                    help="override tracking.use_gmm_pose_anchor")
+    ap.add_argument("--ema", type=float, default=None,
+                    help="override tracking.velocity_ema")
+    ap.add_argument("--jump", type=float, default=None,
+                    help="override tracking.max_jump_trans (m/frame)")
     ap.add_argument("--timing", action="store_true",
                     help="print the named-scope timing table per run")
     ap.add_argument("--cpu", action="store_true",
@@ -112,6 +118,12 @@ def main():
     tk = dict(velocity_damping=args.damping)
     if args.fused is not None:
         tk["use_fused_track"] = bool(args.fused)
+    if args.anchor is not None:
+        tk["use_gmm_pose_anchor"] = bool(args.anchor)
+    if args.ema is not None:
+        tk["velocity_ema"] = args.ema
+    if args.jump is not None:
+        tk["max_jump_trans"] = args.jump
     cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
     seqs = args.seqs.split(",") if args.seqs != "all" else ALL_SEQS
 
