@@ -74,6 +74,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # measure the accurate operating point: f32 contractions at full
+    # precision (the production default, SystemConfig.matmul_precision)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from gmmloc_tpu.config import euroc_v1_config
     from gmmloc_tpu.features import matching
     from gmmloc_tpu.geometry import camera as cam_mod

@@ -228,6 +228,14 @@ class SystemConfig:
     rect_config: str = ""
     online: bool = False
     verbose: bool = False
+    # f32 matmul precision for XLA contractions. On TPU the platform
+    # default lowers f32 matmuls to a SINGLE bf16 MXU pass, which corrupts
+    # the geometry/solver contractions: measured V1_01 ATE 6.1 cm at
+    # default vs 1.2 cm at "highest" (== the CPU f32 result), same code/
+    # seed. "highest" costs extra MXU passes only on f32 matmuls — the
+    # throughput-critical kernels are integer (Hamming) or explicitly
+    # bf16-staged (BA Hessian assembly) and are unaffected.
+    matmul_precision: str = "highest"
     # capability extensions (absent in the reference)
     enable_relocalization: bool = True   # used when a vocabulary is provided
     enable_loop_closing: bool = False    # pose-graph loop closure

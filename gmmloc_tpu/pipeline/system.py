@@ -30,6 +30,12 @@ from ..tracking.tracker import Tracker, TrackStat
 class GMMLocSystem:
     def __init__(self, cfg: SystemConfig, gmap: mixture.GMMMap, vocabulary=None):
         self.cfg = cfg
+        if cfg.matmul_precision:
+            import jax
+
+            jax.config.update(
+                "jax_default_matmul_precision", cfg.matmul_precision
+            )
         self.cam = cam_mod.CameraParams.from_config(cfg.camera)
         self.gmap = gmap
         self.world = ms.MapState(cfg)

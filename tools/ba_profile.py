@@ -51,6 +51,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     print("devices:", jax.devices())

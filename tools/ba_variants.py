@@ -33,6 +33,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
     print("devices:", jax.devices(), flush=True)
 
     from ba_bench import build

@@ -101,6 +101,14 @@ def main():
                     help="override tracking.velocity_ema")
     ap.add_argument("--jump", type=float, default=None,
                     help="override tracking.max_jump_trans (m/frame)")
+    ap.add_argument("--ba_impl", default=None,
+                    help="override loc.ba_schur_impl (onehot|flat)")
+    ap.add_argument("--mo", type=int, default=None,
+                    help="override caps.ba_obs_per_point")
+    ap.add_argument("--prec", default=None,
+                    help="jax default_matmul_precision (e.g. highest): on "
+                         "TPU, f32 matmuls otherwise run as single-pass "
+                         "bf16 on the MXU")
     ap.add_argument("--timing", action="store_true",
                     help="print the named-scope timing table per run")
     ap.add_argument("--cpu", action="store_true",
@@ -112,6 +120,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.prec:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.prec)
 
     os.makedirs(args.out, exist_ok=True)
     cfg = euroc_v1_config()
@@ -125,6 +137,10 @@ def main():
     if args.jump is not None:
         tk["max_jump_trans"] = args.jump
     cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
+    if args.ba_impl is not None:
+        cfg = cfg.replace(loc=dataclasses.replace(cfg.loc, ba_schur_impl=args.ba_impl))
+    if args.mo is not None:
+        cfg = cfg.replace(caps=dataclasses.replace(cfg.caps, ba_obs_per_point=args.mo))
     seqs = args.seqs.split(",") if args.seqs != "all" else ALL_SEQS
 
     results = {}
