@@ -48,7 +48,9 @@ def _edge_terms(cam, q, t, x_w, obs_uvr, is_stereo, sigma2_inv, weight_extra):
     return chi2, H, b
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "rounds", "iters", "step_tol")
+)
 def optimize_pose(
     cam: cam_mod.CameraParams,
     q0,
@@ -60,6 +62,7 @@ def optimize_pose(
     valid,
     rounds: int = 4,
     iters: int = 10,
+    step_tol: float = 1e-8,
 ) -> PoseOptResult:
     """Run the 4x10 staged pose-only solve.
 
@@ -84,8 +87,16 @@ def optimize_pose(
         # this breaks robust-outlier basin locking
         q, t = q0, t0
 
-        def gn_iter(_, qt):
-            q_i, t_i = qt
+        # GN iterations are latency-bound (sequential small kernels); the
+        # step norm collapses after a handful of iterations, so terminate
+        # on |dx|_inf < step_tol instead of always burning the full budget
+        # (g2o's optimize(10) also stops when the update stalls)
+        def gn_cond(carry):
+            _, _, it, done = carry
+            return (it < iters) & ~done
+
+        def gn_iter(carry):
+            q_i, t_i, it, _ = carry
             r, pc, _ = factors.reproj_residual(cam, q_i, t_i, x_w, obs_uvr, is_stereo)
             J = factors.stereo_proj_jac_pose(cam, pc, is_stereo)
             chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
@@ -103,9 +114,12 @@ def optimize_pose(
             ok = jnp.all(jnp.isfinite(q_n)) & jnp.all(jnp.isfinite(t_n))
             q_n = jnp.where(ok, q_n, q_i)
             t_n = jnp.where(ok, t_n, t_i)
-            return q_n, t_n
+            done = ~ok | (jnp.max(jnp.abs(dx)) < step_tol)
+            return q_n, t_n, it + 1, done
 
-        q, t = jax.lax.fori_loop(0, iters, gn_iter, (q, t))
+        q, t, _, _ = jax.lax.while_loop(
+            gn_cond, gn_iter, (q, t, jnp.int32(0), jnp.array(False))
+        )
 
         # reclassify ALL valid edges (outliers can come back; tracking_opt:163-178)
         r, _, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
@@ -141,7 +155,9 @@ ANCHOR_DEG = 1      # 1D point-to-plane along the dominant normal
 ANCHOR_NONDEG = 2   # 3D sqrt-info whitened
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "rounds", "iters", "step_tol")
+)
 def optimize_pose_anchored(
     cam: cam_mod.CameraParams,
     q0,
@@ -160,6 +176,7 @@ def optimize_pose_anchored(
     anc_chi2_th,     # () gate for anchor reclassification between rounds
     rounds: int = 4,
     iters: int = 10,
+    step_tol: float = 1e-8,
 ) -> PoseAnchorResult:
     """Staged pose-only solve with per-frame GMM structure anchors.
 
@@ -221,8 +238,12 @@ def optimize_pose_anchored(
         active_anc = anc_exists & (use_huber | ~anc_out)
         q, t = q0, t0  # per-round restart (tracking_opt.cpp:157)
 
-        def gn_iter(_, qt):
-            q_i, t_i = qt
+        def gn_cond(carry):
+            _, _, it, done = carry
+            return (it < iters) & ~done
+
+        def gn_iter(carry):
+            q_i, t_i, it, _ = carry
             r, pc, _ = factors.reproj_residual(cam, q_i, t_i, x_w, obs_uvr, is_stereo)
             J = factors.stereo_proj_jac_pose(cam, pc, is_stereo)
             chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
@@ -238,9 +259,12 @@ def optimize_pose_anchored(
             ok = jnp.all(jnp.isfinite(q_n)) & jnp.all(jnp.isfinite(t_n))
             q_n = jnp.where(ok, q_n, q_i)
             t_n = jnp.where(ok, t_n, t_i)
-            return q_n, t_n
+            done = ~ok | (jnp.max(jnp.abs(dx)) < step_tol)
+            return q_n, t_n, it + 1, done
 
-        q, t = jax.lax.fori_loop(0, iters, gn_iter, (q, t))
+        q, t, _, _ = jax.lax.while_loop(
+            gn_cond, gn_iter, (q, t, jnp.int32(0), jnp.array(False))
+        )
 
         r, _, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
         chi2 = jnp.sum(r * r, axis=-1) * sigma2_inv
