@@ -36,12 +36,17 @@ class DataFrame:
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    from ..utils import native
+
+    img = native.decode_png_gray(path)
+    if img is not None:
+        return img.astype(np.float32)
     from PIL import Image
 
-    img = Image.open(path)
-    if img.mode != "L":
-        img = img.convert("L")
-    return np.asarray(img, dtype=np.float32)
+    pim = Image.open(path)
+    if pim.mode != "L":
+        pim = pim.convert("L")
+    return np.asarray(pim, dtype=np.float32)
 
 
 class EuRoCDataloader:
@@ -89,7 +94,32 @@ class EuRoCDataloader:
         return f
 
     def __iter__(self) -> Iterator[DataFrame]:
-        """Prefetching iterator: decode runs ahead on worker threads."""
+        """Prefetching iterator: decode runs ahead on worker threads.
+
+        Prefers the native C++ decode ring (libpng + worker threads,
+        native/euroc_loader.cpp); falls back to Python threads + PIL."""
+        from ..utils import native
+
+        if native.io_available():
+            pf = native.NativePrefetcher(
+                self.files_left, self.files_right,
+                capacity=max(2, self._prefetch), n_threads=2,
+            )
+            try:
+                for i in range(len(self)):
+                    pair = pf.take()
+                    if pair is None:
+                        return
+                    f = DataFrame(idx=i, timestamp=self.timestamps[i])
+                    f.left = pair[0].astype(np.float32)
+                    f.right = pair[1].astype(np.float32)
+                    if self.gt_q is not None and i < len(self.gt_q):
+                        f.q_wc, f.t_wc = self.gt_q[i], self.gt_t[i]
+                    yield f
+                return
+            finally:
+                pf.close()
+
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         stop = threading.Event()
 

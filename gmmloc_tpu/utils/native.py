@@ -106,6 +106,108 @@ def save_gmm_file(path: str, means, covs, deg=None, sal=None) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------
+# Native image IO (libgmmloc_io.so): libpng grayscale decode + threaded
+# prefetch ring (ref dataloader.cpp:53-116 / gmmloc.cpp:241-249 roles).
+
+_IO_LIB_PATH = os.path.join(_NATIVE_DIR, "libgmmloc_io.so")
+_io_lib: Optional[ctypes.CDLL] = None
+_io_tried = False
+
+
+def _load_io() -> Optional[ctypes.CDLL]:
+    global _io_lib, _io_tried
+    if _io_lib is not None or _io_tried:
+        return _io_lib
+    _io_tried = True
+    if not os.path.exists(_IO_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_IO_LIB_PATH)
+        lib.euroc_decode_png_gray.restype = ctypes.c_int
+        lib.euroc_prefetcher_create.restype = ctypes.c_void_p
+        lib.euroc_prefetcher_take.restype = ctypes.c_int
+        _io_lib = lib
+    except OSError:
+        return None
+    return _io_lib
+
+
+def io_available() -> bool:
+    return _load_io() is not None
+
+
+def decode_png_gray(path: str, max_pixels: int = 4096 * 3072):
+    """Decode a PNG to (H,W) uint8 via libpng, or None if unavailable."""
+    lib = _load_io()
+    if lib is None:
+        return None
+    buf = np.empty(max_pixels, np.uint8)
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    rc = lib.euroc_decode_png_gray(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_pixels, ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return buf[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+class NativePrefetcher:
+    """In-order stereo-pair prefetcher backed by the C++ decode ring."""
+
+    def __init__(self, files_left, files_right, capacity: int = 8,
+                 n_threads: int = 2, max_pixels: int = 4096 * 3072):
+        lib = _load_io()
+        if lib is None:
+            raise RuntimeError("native io library unavailable")
+        self._lib = lib
+        self._max_pixels = max_pixels
+        self._n = len(files_left)
+        self._handle = lib.euroc_prefetcher_create(
+            "\n".join(files_left).encode(), "\n".join(files_right).encode(),
+            ctypes.c_int64(max_pixels), capacity, n_threads,
+        )
+        if not self._handle:
+            raise RuntimeError("native prefetcher creation failed")
+
+    def take(self):
+        """Next (left, right) uint8 pair in order; None when exhausted."""
+        out_l = np.empty(self._max_pixels, np.uint8)
+        out_r = np.empty(self._max_pixels, np.uint8)
+        whwh = np.zeros(4, np.int32)
+        rc = self._lib.euroc_prefetcher_take(
+            ctypes.c_void_p(self._handle),
+            out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            whwh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == -1:
+            return None
+        if rc != 0:
+            raise IOError(f"native decode failed (rc={rc})")
+        wl, hl, wr, hr = (int(x) for x in whwh)
+        return (
+            out_l[: wl * hl].reshape(hl, wl).copy(),
+            out_r[: wr * hr].reshape(hr, wr).copy(),
+        )
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.euroc_prefetcher_destroy(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def __del__(self):
+        self.close()
+
+
 def hamming_matrix(a: np.ndarray, b: np.ndarray):
     """Host (N,32)x(M,32) -> (N,M) int32, or None if native unavailable."""
     lib = _load()
