@@ -112,8 +112,11 @@ class LocConfig:
     ba_iters_stage2: int = 5
     ba_iters_stage3: int = 40
     # LM early-termination relative-gain threshold (0 disables; g2o also
-    # stops when chi2 improvement vanishes)
-    ba_term_gain: float = 1e-6
+    # stops when chi2 improvement vanishes). 1e-5 measured on noisy
+    # production-tier problems: converges in ~7 LM iterations with final
+    # cost identical to 1e-6's (which burns 11-18) — tools note in
+    # solver/local_ba.py docstring.
+    ba_term_gain: float = 1e-5
     # Schur camera-system assembly: "flat" (large clean GEMMs) or "onehot"
     # (einsum with one-hot gathers); flat measured faster on TPU v5e
     ba_schur_impl: str = "flat"

@@ -736,6 +736,8 @@ class Localization:
             cg_iters=cfg.loc.ba_cg_iters,
         )
 
+        self.last_ba_iters = int(res.n_iters)
+
         # write back poses/points, rejecting implausible jumps: a local-BA
         # step that moves a keyframe by decimetres is divergence (gauge
         # slide / edge-deactivation runaway), not refinement — keep the

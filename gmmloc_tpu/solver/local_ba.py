@@ -78,6 +78,7 @@ class BAResult(NamedTuple):
     str_drop: jax.Array       # (P,) bool — downgrade GMM association
     obs_chi2: jax.Array       # (P,MO)
     cost: jax.Array           # () final total cost
+    n_iters: jax.Array        # () int32 LM iterations used across stages
 
 
 def _inv3(m):
@@ -406,13 +407,13 @@ def solve_local_ba(
             cost = jnp.minimum(new_cost, cost)
             return cam_q, cam_t, pts, lam, cost, it + 1, done
 
-        cam_q, cam_t, pts, lam0, _ = state
+        cam_q, cam_t, pts, lam0, _, it_tot = state
         cost0 = total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber)
         out = jax.lax.while_loop(
             cond, body,
             (cam_q, cam_t, pts, lam0, cost0, jnp.array(0), jnp.array(False)),
         )
-        return out[:5]
+        return out[:5] + (it_tot + out[5],)
 
     use_huber = jnp.array(True)
     active_obs = prob.obs_valid & obs_exists
@@ -420,7 +421,7 @@ def solve_local_ba(
 
     state = (
         prob.cam_q, prob.cam_t, prob.pts,
-        jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype),
+        jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype), jnp.array(0),
     )
     state = run_stage(state, active_obs, active_str, use_huber, iters1)
 
@@ -454,4 +455,7 @@ def solve_local_ba(
         & (chi2_deg_f > tri_str_thresh * ba_lambda2)
     )
     cost_f = total_cost(cam_q_f, cam_t_f, pts_f, active_obs, active_str, use_huber)
-    return BAResult(cam_q_f, cam_t_f, pts_f, obs_bad, str_drop, chi2_f, cost_f)
+    return BAResult(
+        cam_q_f, cam_t_f, pts_f, obs_bad, str_drop, chi2_f, cost_f,
+        state[5].astype(jnp.int32),
+    )
