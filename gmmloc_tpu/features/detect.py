@@ -42,19 +42,30 @@ class ORBDetector:
     """Builds one jitted detect() for a fixed image geometry."""
 
     def __init__(self, height: int, width: int, num_features: int = 1200,
-                 num_levels: int = 8, scale: float = 1.2, cell: int = 24):
+                 num_levels: int = 8, scale: float = 1.2, cell: int = 24,
+                 use_pallas_fast: bool = False):
         self.shapes = tuple(pyramid.level_shapes(height, width, num_levels, scale))
         self.quotas = level_quotas(num_features, num_levels, scale)
         self.num_levels = num_levels
         self.scale_factors = scale ** np.arange(num_levels)
         self.cell = cell
+        # fused Pallas FAST+NMS (pallas_kernels.fast_score_nms): bit-exact
+        # vs the XLA path; off by default pending on-chip validation of
+        # Pallas composition inside this multi-level jit (the dev tunnel
+        # has hung on composed Pallas calls before — RESULTS.md)
+        self.use_pallas_fast = use_pallas_fast
         self._detect = jax.jit(self._detect_impl)
 
     def _detect_impl(self, img):
         levels = pyramid.build_pyramid(img, self.shapes)
         uvs, octs, angs, resps, descs, valids = [], [], [], [], [], []
         for l, lvl_img in enumerate(levels):
-            score = fast.nms3x3(fast.fast_score(lvl_img))
+            if self.use_pallas_fast:
+                from . import pallas_kernels as pk
+
+                score = pk.fast_score_nms(lvl_img)
+            else:
+                score = fast.nms3x3(fast.fast_score(lvl_img))
             uv, resp, valid = fast.select_keypoints(
                 score, cell=self.cell, quota=self.quotas[l], edge=16
             )

@@ -132,3 +132,32 @@ def test_pallas_hamming_matches_xla(rng):
         np.testing.assert_array_equal(
             np.asarray(matching.hamming_matrix(a, b)), ref
         )
+
+
+def test_pallas_fast_nms_matches_xla(rng):
+    """Fused Pallas FAST+NMS kernel is bit-exact vs the XLA ops
+    (interpret mode on CPU; the real lowering runs on TPU)."""
+    import jax.numpy as jnp
+
+    from gmmloc_tpu.features import fast, pallas_kernels
+
+    for shape in [(480, 752), (96, 130)]:
+        img = rng.integers(0, 256, shape).astype(np.float32)
+        ref = np.asarray(fast.nms3x3(fast.fast_score(jnp.array(img))))
+        got = np.asarray(
+            pallas_kernels.fast_score_nms_pallas(jnp.array(img), interpret=True)
+        )
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_detector_pallas_flag_matches_default(rng):
+    """ORBDetector(use_pallas_fast=True) detects identical keypoints on
+    CPU (where the dispatch falls back to XLA) — the flag is wiring-safe."""
+    from gmmloc_tpu.features.detect import ORBDetector
+
+    img = rng.integers(0, 256, (120, 160)).astype(np.float32)
+    d0 = ORBDetector(120, 160, num_features=100, num_levels=3)(img)
+    d1 = ORBDetector(120, 160, num_features=100, num_levels=3,
+                     use_pallas_fast=True)(img)
+    np.testing.assert_array_equal(np.asarray(d0.uv), np.asarray(d1.uv))
+    np.testing.assert_array_equal(np.asarray(d0.desc), np.asarray(d1.desc))
