@@ -69,6 +69,7 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
         done += 1
         tracked += int(st.res)
     wall = time.time() - t0
+    sys_.stop()  # drain the online mapping thread before export (no-op offline)
     ts_est, q_est, t_est = sys_.export_trajectory()
     if out_path:
         sys_.world.save_trajectory_tum(out_path)
@@ -105,6 +106,10 @@ def main():
                     help="override loc.ba_schur_impl (onehot|flat)")
     ap.add_argument("--mo", type=int, default=None,
                     help="override caps.ba_obs_per_point")
+    ap.add_argument("--online", action="store_true",
+                    help="online mode: mapping+BA on a worker thread "
+                         "(reference's two-thread 20 Hz configuration) "
+                         "instead of the offline inline protocol")
     ap.add_argument("--prec", default=None,
                     help="jax default_matmul_precision (e.g. highest): on "
                          "TPU, f32 matmuls otherwise run as single-pass "
@@ -137,6 +142,8 @@ def main():
     if args.jump is not None:
         tk["max_jump_trans"] = args.jump
     cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
+    if args.online:
+        cfg = cfg.replace(online=True)
     if args.ba_impl is not None:
         cfg = cfg.replace(loc=dataclasses.replace(cfg.loc, ba_schur_impl=args.ba_impl))
     if args.mo is not None:
