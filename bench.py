@@ -186,8 +186,9 @@ def main():
     detail["local_ba_ms"] = t_ba * 1e3
     detail["ba_solves_per_sec"] = 1.0 / t_ba
 
-    # offline protocol: KF (assoc + BA) every ~10 frames, inline
-    kf_every = 10.0
+    # offline protocol: KF (assoc + BA) inline every ~8 frames (measured
+    # KF cadence across the r2 protocol sweep: 46-87 KFs per 400 frames)
+    kf_every = 8.0
     t_total = t_frame + (t_render + t_assoc + t_ba) / kf_every
     fps = 1.0 / t_total
     detail["frame_core_ms"] = t_frame * 1e3

@@ -154,3 +154,41 @@ def test_equalize_hist_spreads_range():
     img[:32] = 110.0
     out = np.asarray(equalize_hist(jnp.array(img)))
     assert out.min() < 50 and out.max() > 200
+
+
+def test_end_to_end_determinism():
+    """Two identical runs produce bit-identical trajectories and map state
+    (SURVEY.md §4: determinism is a required test pillar — the reference's
+    only nod to nondeterminism is its 5-runs protocol)."""
+    cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=0.9)
+    )
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=cfg.caps.gmm_components_pad,
+        neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+        neighbor_cap=cfg.gmm.neighbor_cap,
+    )
+
+    def run():
+        # rebuild the synthetic front-end per run: its observation-noise
+        # stream is stateful (advances per make_frame call), and the test
+        # isolates SYSTEM determinism, not harness state
+        fe, ts, q_wc, t_wc = synthetic.make_sequence(
+            cfg, n_frames=200, stride=1, n_landmarks=20000,
+            disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+        )
+        s = GMMLocSystem(cfg, gmap)
+        for i in range(40):
+            fi = 150 + i
+            f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+            st = s.step(f, q_wc[fi], t_wc[fi])
+            assert st.res
+        ts_e, q_e, t_e = s.export_trajectory()
+        return ts_e, q_e, t_e, s.world.n_keyframes(), s.world.n_points()
+
+    a = run()
+    b = run()
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    assert a[3] == b[3] and a[4] == b[4]
