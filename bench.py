@@ -22,20 +22,24 @@ import numpy as np
 
 
 def _reduced(fn):
-    """Wrap fn so its outputs are reduced to ONE scalar inside the same jit.
+    """Wrap fn(*args) so its outputs are reduced to ONE scalar inside the
+    same jit, with the runtime inputs as REAL jit arguments.
 
-    Two development-tunnel quirks force this shape: block_until_ready acks
-    at enqueue (not completion), and transfers of arrays produced by a
+    Two development-tunnel quirks force the scalar shape: block_until_ready
+    acks at enqueue (not completion), and transfers of arrays produced by a
     CHAINED dispatch hang intermittently. A scalar that is the direct
     output of the single measured dispatch transfers reliably and its
-    arrival proves the computation ran.
+    arrival proves the computation ran. Inputs must be jit ARGUMENTS, not
+    closure constants — XLA constant-folds nullary graphs (observed: a
+    closure-captured association pass "measured" at 0.1ms because the
+    whole computation folded at compile time).
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def wrapped():
-        r = fn()
+    def wrapped(*args):
+        r = fn(*args)
         total = jnp.float32(0.0)
         for leaf in jax.tree_util.tree_leaves(r):
             if hasattr(leaf, "dtype"):
@@ -45,7 +49,7 @@ def _reduced(fn):
     return wrapped
 
 
-def timeit(fn, warmup=2, iters=20, iters_lo=None):
+def timeit(fn, *args, warmup=2, iters=20, iters_lo=None):
     """Two-point measurement: slope between a short and a long run removes
     the fixed sync round-trip (~25ms through the tunnel)."""
     import numpy as _np
@@ -53,13 +57,13 @@ def timeit(fn, warmup=2, iters=20, iters_lo=None):
     iters_lo = max(2, iters // 5) if iters_lo is None else iters_lo
     wrapped = _reduced(fn)
     for _ in range(warmup):
-        s = wrapped()
+        s = wrapped(*args)
     float(_np.asarray(s))
 
     def run(n):
         t0 = time.perf_counter()
         for _ in range(n):
-            s = wrapped()
+            s = wrapped(*args)
         float(_np.asarray(s))
         return time.perf_counter() - t0
 
@@ -108,7 +112,7 @@ def main():
         jnp.array(octv), jnp.zeros(F, jnp.float32), jnp.ones(F, bool),
         jnp.zeros(F, bool),
     )
-    t_match = timeit(lambda: matching.search_by_projection(*args_match))
+    t_match = timeit(matching.search_by_projection, *args_match)
 
     q0 = jnp.array([1.0, 0.001, -0.002, 0.0005])
     q0 = q0 / jnp.linalg.norm(q0)
@@ -117,7 +121,7 @@ def main():
         jnp.array(x_w, jnp.float32), jnp.array(obs), jnp.ones(F, bool),
         jnp.ones(F, jnp.float32), jnp.ones(F, bool),
     )
-    t_pose = timeit(lambda: pose_solver.optimize_pose(cam, *args_pose))
+    t_pose = timeit(lambda *a: pose_solver.optimize_pose(cam, *a), *args_pose)
     detail["match_ms"] = t_match * 1e3
     detail["pose_opt_ms"] = t_pose * 1e3
 
@@ -128,7 +132,7 @@ def main():
     import __graft_entry__ as _graft
 
     fused_fn, fused_args = _graft.entry()
-    t_frame = timeit(lambda: fused_fn(*fused_args))
+    t_frame = timeit(fused_fn, *fused_args)
     detail["fused_track_step_ms"] = t_frame * 1e3
 
     # ---- per-keyframe GMM association ----------------------------------
@@ -137,12 +141,12 @@ def main():
     )
     qr = jnp.array([1.0, 0, 0, 0], jnp.float32)
     tr = jnp.zeros(3, jnp.float32)
-    t_render = timeit(lambda: render.render_view(gmap, cam, qr, tr), iters=10)
+    t_render = timeit(lambda q, t: render.render_view(gmap, cam, q, t), qr, tr, iters=10)
     r2d = render.render_view(gmap, cam, qr, tr)
     feat_uv = jnp.array(uv, jnp.float32)
     t_assoc = timeit(
-        lambda: render.search_correspondence(r2d, feat_uv, jnp.ones(F, bool)),
-        iters=10,
+        lambda r, u: render.search_correspondence(r, u, jnp.ones(F, bool)),
+        r2d, feat_uv, iters=10,
     )
     detail["render_view_ms"] = t_render * 1e3
     detail["search_corr_ms"] = t_assoc * 1e3
@@ -165,10 +169,14 @@ def main():
         ],
         -1,
     ).astype(np.float32)
+    # realistic observation noise + perturbed init: a noise-free problem
+    # converges in 1-2 LM iterations and under-reports the solve cost
+    uvr += rng.normal(0, 0.5, uvr.shape).astype(np.float32)
+    pts_init = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
     prob = local_ba.BAProblem(
         cam_q=jnp.array(cam_q), cam_t=jnp.array(cam_t),
         cam_valid=jnp.ones(C, bool),
-        pts=jnp.array(pts), pt_valid=jnp.ones(P, bool),
+        pts=jnp.array(pts_init), pt_valid=jnp.ones(P, bool),
         obs_cam=jnp.array(obs_cam),
         obs_uvr=jnp.array(uvr), obs_stereo=jnp.ones((P, MO), bool),
         obs_sigma2_inv=jnp.ones((P, MO), jnp.float32),
@@ -181,7 +189,8 @@ def main():
         has_prior=jnp.array(True),
     )
     t_ba = timeit(
-        lambda: local_ba.solve_local_ba(cam, prob, n_free=L), warmup=1, iters=3
+        lambda p: local_ba.solve_local_ba(cam, p, n_free=L), prob,
+        warmup=1, iters=3,
     )
     detail["local_ba_ms"] = t_ba * 1e3
     detail["ba_solves_per_sec"] = 1.0 / t_ba

@@ -38,15 +38,51 @@ def densify(means, covs, factor: int, seed: int = 0):
     return np.concatenate(out_m), np.concatenate(out_c)
 
 
-def timeit(fn, warmup=2, iters=10):
+def timeit(fn, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
+    """Two-point slope with a transfer sync: block_until_ready acks at
+    enqueue through the dev tunnel (see bench.py), so completion is
+    proven by summing a leaf to host. wrap_jit=False for sharded calls
+    (jax.set_mesh inside another jit is invalid) — those run on the
+    virtual CPU mesh where block_until_ready is truthful."""
+    if not wrap_jit:
+        for _ in range(warmup):
+            r = fn()
+        jax.block_until_ready(r)
+
+        def run_nb(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            jax.block_until_ready(r)
+            return time.perf_counter() - t0
+
+        t_lo = run_nb(iters_lo)
+        t_hi = run_nb(iters)
+        return max((t_hi - t_lo) / max(1, iters - iters_lo), 1e-7)
+
+    def reduced():
+        r = fn()
+        total = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(r):
+            if hasattr(leaf, "dtype"):
+                total = total + jnp.sum(leaf.astype(jnp.float32))
+        return total
+
+    reduced_j = jax.jit(reduced)
     for _ in range(warmup):
-        r = fn()
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+        s = reduced_j()
+    float(np.asarray(s))
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = reduced_j()
+        float(np.asarray(s))
+        return time.perf_counter() - t0
+
+    t_lo = run(iters_lo)
+    t_hi = run(iters)
+    return max((t_hi - t_lo) / max(1, iters - iters_lo), 1e-7)
 
 
 def main():
@@ -85,11 +121,13 @@ def main():
         mesh = sharding.make_mesh(n_dev)
         gmap_sh = sharding.shard_gmm_map(gmap, mesh)
         t_r_sh = timeit(
-            lambda: sharding.render_view_sharded(gmap_sh, cam, q, t, mesh)
+            lambda: sharding.render_view_sharded(gmap_sh, cam, q, t, mesh),
+            wrap_jit=False,
         )
         r_sh = sharding.render_view_sharded(gmap_sh, cam, q, t, mesh)
         t_a_sh = timeit(
-            lambda: sharding.search_correspondence_sharded(r_sh, feat_uv, fv, mesh)
+            lambda: sharding.search_correspondence_sharded(r_sh, feat_uv, fv, mesh),
+            wrap_jit=False,
         )
         print(
             f"{n_dev}-device sharded: render {t_r_sh*1e3:.2f}ms assoc {t_a_sh*1e3:.2f}ms "
