@@ -38,10 +38,15 @@ class FusedTrackResult(NamedTuple):
     num_inliers: jax.Array    # ()
     n_motion_matches: jax.Array  # ()
     map_in_view: jax.Array    # (P,) bool — local points passing the gates
+    num_anchors: jax.Array    # () int32 — surviving GMM anchors (0 if off)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "num_levels")
+    jax.jit,
+    static_argnames=(
+        "cam", "num_levels", "use_anchors", "anchor_lambda2",
+        "anchor_chi2_gate", "anchor_min_edges",
+    ),
 )
 def fused_track_step(
     cam: cam_mod.CameraParams,
@@ -63,6 +68,17 @@ def fused_track_step(
     num_levels: int,
     motion_radius: float = 7.0,
     local_radius: float = 3.0,
+    # GMM structure anchors, keyed by point slot (see pose_solver
+    # optimize_pose_anchored; classic path _gather_anchors). last_anc_*
+    # are F-aligned (last-frame slots), map_anc_* are P-aligned.
+    use_anchors: bool = False,
+    last_anc_type=None, last_anc_mean=None, last_anc_normal=None,
+    last_anc_sqrt_info=None,
+    map_anc_type=None, map_anc_mean=None, map_anc_normal=None,
+    map_anc_sqrt_info=None,
+    anchor_lambda2: float = 400.0,
+    anchor_chi2_gate: float = 2.56,
+    anchor_min_edges: int = 10,
 ) -> FusedTrackResult:
     F = feat_uv.shape[0]
     P = map_pts.shape[0]
@@ -154,11 +170,61 @@ def fused_track_step(
         use2[:, None], map_pts[jnp.clip(feat_point, 0)],
         last_pts[jnp.clip(feat_point, 0)],
     )
-    res2 = pose_solver.optimize_pose(
-        cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv, has & feat_valid
-    )
+    if use_anchors:
+        # per-feature structure anchors gathered at the final assignment
+        # (classic path: tracker._gather_anchors on frame.mappoint).
+        # Anchor the feature's OWN stereo measurement to the matched
+        # point's vetted GMM component.
+        fpc = jnp.clip(feat_point, 0)
+        sel = use2[:, None]
+        a_type = jnp.where(use2, map_anc_type[fpc], last_anc_type[fpc])
+        a_mean = jnp.where(sel, map_anc_mean[fpc], last_anc_mean[fpc])
+        a_norm = jnp.where(sel, map_anc_normal[fpc], last_anc_normal[fpc])
+        a_sqi = jnp.where(
+            sel[:, :, None], map_anc_sqrt_info[fpc], last_anc_sqrt_info[fpc]
+        )
+        stereo_ok = feat_ur >= 0
+        zs = jnp.where(
+            jnp.abs(obs[:, 0] - obs[:, 2]) < 1e-6,
+            1e9, cam.bf / jnp.clip(obs[:, 0] - obs[:, 2], 1e-6),
+        )
+        anc_ok = (
+            (a_type != pose_solver.ANCHOR_NONE)
+            & has & feat_valid & stereo_ok & (zs > 0) & (zs < 1e3)
+        )
+        a_type = jnp.where(anc_ok, a_type, pose_solver.ANCHOR_NONE)
+        # all-or-nothing gate: below min_edges the anchors add bias, not
+        # observability (classic host gate, anchor_min_edges)
+        enough = jnp.sum(a_type != pose_solver.ANCHOR_NONE) >= anchor_min_edges
+        a_type = jnp.where(enough, a_type, pose_solver.ANCHOR_NONE)
+        anc_xc = jnp.stack(
+            [
+                (obs[:, 0] - cam.cx) / cam.fx * zs,
+                (obs[:, 1] - cam.cy) / cam.fy * zs,
+                zs,
+            ],
+            -1,
+        )
+        zc = jnp.maximum(zs, 1.0)
+        a_weight = jnp.where(
+            a_type == pose_solver.ANCHOR_DEG, anchor_lambda2 * zc * zc, 1.0
+        ).astype(jnp.float32)
+        res2 = pose_solver.optimize_pose_anchored(
+            cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv,
+            has & feat_valid,
+            anc_xc, a_mean, a_norm, a_sqi, a_type, a_weight,
+            jnp.float32(anchor_chi2_gate),
+        )
+    else:
+        res2 = pose_solver.optimize_pose(
+            cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv,
+            has & feat_valid,
+        )
     inliers = has & feat_valid & ~res2.is_outlier
 
+    n_anc = (
+        res2.num_anchors if use_anchors else jnp.int32(0)
+    )
     return FusedTrackResult(
         q=res2.q, t=res2.t,
         feat_point=jnp.where(has, feat_point, -1),
@@ -167,4 +233,5 @@ def fused_track_step(
         num_inliers=jnp.sum(inliers),
         n_motion_matches=n_motion,
         map_in_view=ok,
+        num_anchors=n_anc,
     )

@@ -606,6 +606,52 @@ class Tracker:
             map_max[:n_lp] = w.pt_max_dist[lp]
             map_ok[:n_lp] = True
 
+        # slot-aligned GMM anchor tables (vetted associations only, as
+        # _gather_anchors); the kernel gathers per-feature anchors at the
+        # final assignment and runs the anchored second solve
+        gv = self.gmm_views
+        use_anc = self.cfg.tracking.use_gmm_pose_anchor and gv is not None
+        anc_kw = {}
+        if use_anc:
+            def anc_tables(point_ids, n_slots):
+                t = np.zeros(n_slots, np.int32)
+                mean = np.zeros((n_slots, 3), np.float32)
+                norm = np.zeros((n_slots, 3), np.float32)
+                sqi = np.zeros((n_slots, 3, 3), np.float32)
+                if len(point_ids):
+                    n = len(point_ids)
+                    pid = np.asarray(point_ids)
+                    okp = (pid >= 0) & w.pt_assoc_vetted[np.clip(pid, 0, None)]
+                    comp = np.where(
+                        okp, w.pt_assoc_comp[np.clip(pid, 0, None)], -1
+                    )
+                    k = np.maximum(comp, 0)
+                    deg = gv["is_degenerated"][k]
+                    t[:n] = np.where(
+                        comp >= 0,
+                        np.where(deg, pose_solver.ANCHOR_DEG,
+                                 pose_solver.ANCHOR_NONDEG),
+                        0,
+                    )
+                    mean[:n] = gv["means"][k]
+                    norm[:n] = gv["normal"][k]
+                    sqi[:n] = gv["sqrt_info"][k]
+                return (jnp.array(t), jnp.array(mean), jnp.array(norm),
+                        jnp.array(sqi))
+
+            la = anc_tables(last.mappoint, last.feat_cap)
+            ma = anc_tables(lp, P)
+            anc_kw = dict(
+                use_anchors=True,
+                last_anc_type=la[0], last_anc_mean=la[1],
+                last_anc_normal=la[2], last_anc_sqrt_info=la[3],
+                map_anc_type=ma[0], map_anc_mean=ma[1],
+                map_anc_normal=ma[2], map_anc_sqrt_info=ma[3],
+                anchor_lambda2=float(self.cfg.tracking.anchor_lambda2),
+                anchor_chi2_gate=float(self.cfg.tracking.anchor_chi2_gate),
+                anchor_min_edges=int(self.cfg.tracking.anchor_min_edges),
+            )
+
         th_local = 5.0 if frame.idx < 2 else self.cfg.tracking.local_search_radius
         t_fused = Timer("track/fused_dispatch").start()
         res = fused.fused_track_step(
@@ -625,6 +671,7 @@ class Tracker:
             float(self.log_sf), self.num_levels,
             motion_radius=self.cfg.tracking.motion_search_radius,
             local_radius=th_local,
+            **anc_kw,
         )
 
         num_inliers = int(res.num_inliers)
@@ -667,6 +714,7 @@ class Tracker:
             "path": "fused",
             "n_motion_match": int(res.n_motion_matches),
             "n_gmm_inliers": int((w.pt_assoc_comp[selg] >= 0).sum()),
+            "n_anchors": int(res.num_anchors),
             "q_pred": q_pred,
             "t_pred": t_pred,
         }
