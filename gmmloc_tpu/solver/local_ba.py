@@ -227,7 +227,7 @@ def solve_local_ba(
     iters1: int = 5,
     iters2: int = 5,
     iters3: int = 40,
-    term_gain: float = 1e-6,
+    term_gain: float = 1e-5,
     use_bf16: bool = True,
     schur_impl: str = "flat",
     linear_solver: str = "lu",

@@ -38,7 +38,7 @@ def densify(means, covs, factor: int, seed: int = 0):
     return np.concatenate(out_m), np.concatenate(out_c)
 
 
-def timeit(fn, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
+def timeit(fn, *args, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
     """Two-point slope with a transfer sync: block_until_ready acks at
     enqueue through the dev tunnel (see bench.py), so completion is
     proven by summing a leaf to host. wrap_jit=False for sharded calls
@@ -46,13 +46,13 @@ def timeit(fn, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
     virtual CPU mesh where block_until_ready is truthful."""
     if not wrap_jit:
         for _ in range(warmup):
-            r = fn()
+            r = fn(*args)
         jax.block_until_ready(r)
 
         def run_nb(n):
             t0 = time.perf_counter()
             for _ in range(n):
-                r = fn()
+                r = fn(*args)
             jax.block_until_ready(r)
             return time.perf_counter() - t0
 
@@ -60,8 +60,8 @@ def timeit(fn, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
         t_hi = run_nb(iters)
         return max((t_hi - t_lo) / max(1, iters - iters_lo), 1e-7)
 
-    def reduced():
-        r = fn()
+    def reduced(*a):
+        r = fn(*a)
         total = jnp.float32(0.0)
         for leaf in jax.tree_util.tree_leaves(r):
             if hasattr(leaf, "dtype"):
@@ -70,13 +70,13 @@ def timeit(fn, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
 
     reduced_j = jax.jit(reduced)
     for _ in range(warmup):
-        s = reduced_j()
+        s = reduced_j(*args)
     float(np.asarray(s))
 
     def run(n):
         t0 = time.perf_counter()
         for _ in range(n):
-            s = reduced_j()
+            s = reduced_j(*args)
         float(np.asarray(s))
         return time.perf_counter() - t0
 
@@ -111,9 +111,9 @@ def main():
     )
     fv = jnp.ones(1280, bool)
 
-    t_render = timeit(lambda: render.render_view(gmap, cam, q, t))
+    t_render = timeit(lambda q_, t_: render.render_view(gmap, cam, q_, t_), q, t)
     r2d = render.render_view(gmap, cam, q, t)
-    t_assoc = timeit(lambda: render.search_correspondence(r2d, feat_uv, fv))
+    t_assoc = timeit(lambda r_, u_: render.search_correspondence(r_, u_, fv), r2d, feat_uv)
     print(f"single-device: render {t_render*1e3:.2f}ms assoc {t_assoc*1e3:.2f}ms")
 
     n_dev = len(jax.devices())
