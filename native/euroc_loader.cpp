@@ -81,15 +81,18 @@ int decode_png_gray_impl(const char* path, uint8_t* out, int64_t cap,
 // Threaded prefetch ring over a fixed frame list (stereo pairs). Workers
 // claim frame indices in order and decode into the slot idx % capacity;
 // the consumer takes frames strictly in order (the tracking loop is
-// sequential). Replaces the Python-thread prefetcher for the image path.
+// sequential). Slot s serves frames s, s+capacity, s+2*capacity, ... in
+// strict turn order (slot_turn), so two workers can never occupy the same
+// slot buffer concurrently. Replaces the Python-thread prefetcher for the
+// image path.
 struct Prefetcher {
   std::vector<std::string> left, right;
   int64_t slot_cap;  // bytes per image slot
   int capacity;
   std::vector<uint8_t> buf_l, buf_r;
   std::vector<int32_t> dims;      // (capacity, 4): wl, hl, wr, hr
-  std::vector<int> status;        // per-slot: -1 empty, 0 ok, >0 error
-  std::vector<int64_t> slot_frame;  // which frame currently owns the slot
+  std::vector<int> status;        // per-slot: -1 not ready, 0 ok, >0 error
+  std::vector<int64_t> slot_turn;   // next frame allowed to use the slot
   std::atomic<int64_t> next_claim{0};
   int64_t next_consume = 0;
   std::mutex mu;
@@ -107,7 +110,8 @@ struct Prefetcher {
         buf_r(static_cast<size_t>(capacity_) * cap_bytes),
         dims(static_cast<size_t>(capacity_) * 4),
         status(capacity_, -1),
-        slot_frame(capacity_, -1) {
+        slot_turn(capacity_) {
+    for (int i = 0; i < capacity_; ++i) slot_turn[i] = i;
     for (int i = 0; i < n_threads; ++i)
       workers.emplace_back([this] { this->work(); });
   }
@@ -126,14 +130,11 @@ struct Prefetcher {
       if (f >= n) return;
       int slot = static_cast<int>(f % capacity);
       {
-        // wait until the slot's previous occupant has been consumed
+        // wait until it is this frame's turn on the slot (previous
+        // occupant decoded AND consumed)
         std::unique_lock<std::mutex> lk(mu);
-        cv_free.wait(lk, [&] {
-          return stop.load() || slot_frame[slot] == -1 ||
-                 slot_frame[slot] >= f;
-        });
+        cv_free.wait(lk, [&] { return stop.load() || slot_turn[slot] == f; });
         if (stop.load()) return;
-        slot_frame[slot] = f;
       }
       int32_t wl = 0, hl = 0, wr = 0, hr = 0;
       int rc1 = decode_png_gray_impl(left[f].c_str(),
@@ -162,7 +163,7 @@ struct Prefetcher {
     int slot = static_cast<int>(f % capacity);
     std::unique_lock<std::mutex> lk(mu);
     cv_ready.wait(lk, [&] {
-      return stop.load() || (slot_frame[slot] == f && status[slot] != -1);
+      return stop.load() || (slot_turn[slot] == f && status[slot] != -1);
     });
     if (stop.load()) return -2;
     int rc = status[slot];
@@ -174,7 +175,7 @@ struct Prefetcher {
       std::memcpy(out_r, buf_r.data() + slot * slot_cap, nr);
     }
     status[slot] = -1;
-    slot_frame[slot] = -1;
+    slot_turn[slot] = f + capacity;
     lk.unlock();
     cv_free.notify_all();
     return rc;

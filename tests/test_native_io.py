@@ -64,6 +64,23 @@ def test_prefetcher_in_order_and_complete(tmp_path):
         pf.close()
 
 
+def test_prefetcher_slot_contention_stress(tmp_path):
+    # capacity 2 with 4 workers maximizes same-slot contention; the ring
+    # must serve frames in strict order with uncorrupted buffers.
+    pairs = _write_pngs(tmp_path, n=64, w=32, h=24, seed=3)
+    paths = [p for p, _ in pairs]
+    imgs = [im for _, im in pairs]
+    pf = native.NativePrefetcher(paths, paths, capacity=2, n_threads=4)
+    try:
+        for i in range(64):
+            got = pf.take()
+            np.testing.assert_array_equal(got[0], imgs[i])
+            np.testing.assert_array_equal(got[1], imgs[i])
+        assert pf.take() is None
+    finally:
+        pf.close()
+
+
 def test_missing_file_raises(tmp_path):
     pairs = _write_pngs(tmp_path, n=2)
     paths = [p for p, _ in pairs]
