@@ -20,6 +20,16 @@ tables every reduction is a gather + one-hot einsum on the MXU. Landmark
 blocks are eliminated per point (dense 3x3), the reduced (6L x 6L)
 camera system is assembled with einsums and solved directly.
 
+LM loop structure: the residual/Jacobian products at the CURRENT
+accepted state are carried in the loop state, so each LM iteration runs
+exactly ONE (P, MO) residual+Jacobian pass — at the PROPOSED state,
+where its chi2 doubles as the accept-test cost. A rejected step redoes
+only the (cheap) damped assembly+solve from the carried products with a
+larger lambda; the earlier formulation paid a full residual pass for the
+cost AND recomputed Jacobians at the unchanged state after a reject.
+Products are mask-independent (active/huber masks apply at assembly
+time), so they stay valid across the stage-gate transitions.
+
 Variant selection (measured on TPU v5e, production tier L=16/P=8192/MO=12
 with 0.5 px observation noise, tools/ba_variants.py): flat/lu 75.5 ms,
 flat/cg 78.0 ms, onehot/lu 107.9 ms per staged solve — hence the "flat"
@@ -252,9 +262,26 @@ def solve_local_ba(
         & obs_on_free[..., None]
     ).astype(dtype)
 
-    def total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber):
-        chi2, _ = _obs_residuals(cam, prob, cam_q, cam_t, pts)
-        s = chi2
+    # bf16 staging for the heavy (P,MO,·) einsums — inputs in bfloat16,
+    # accumulation in f32 on the MXU. The Hessian blocks become mildly
+    # approximate (a preconditioner-quality change; the LM accept test
+    # uses the exact f32 cost), halving the dominant HBM traffic. chi2 is
+    # always computed in f32 inside the pass, so the accept cost is exact.
+    stage_dt = jnp.bfloat16 if use_bf16 else dtype
+    ohb = onehot.astype(stage_dt)
+
+    def products_at(cam_q, cam_t, pts):
+        """The single (P, MO) residual+Jacobian pass. Everything heavy the
+        LM loop needs at a state is computed here once."""
+        r, Jc, Jp, chi2, depth_ok = _obs_terms(cam, prob, cam_q, cam_t, pts)
+        return (
+            r.astype(stage_dt), Jc.astype(stage_dt), Jp.astype(stage_dt),
+            chi2, depth_ok,
+        )
+
+    def cost_from(products, cam_q, cam_t, pts, active_obs, active_str, use_huber):
+        """Exact total cost from carried products — no (P,MO,·) pass."""
+        s = products[3]
         d = huber_delta
         rho = jnp.where(
             use_huber & (s > d * d), 2.0 * d * jnp.sqrt(jnp.clip(s, 1e-24)) - d * d, s
@@ -266,22 +293,11 @@ def solve_local_ba(
         )
         return c_obs + jnp.sum(jnp.where(prob.pt_valid, c_str, 0.0)) + c_pri
 
-    def lm_iteration(cam_q, cam_t, pts, lam, active_obs, active_str, use_huber):
-        r, Jc, Jp, chi2, _ = _obs_terms(cam, prob, cam_q, cam_t, pts)
+    def lm_step(products, cam_q, cam_t, pts, lam, active_obs, active_str, use_huber):
+        rb, Jcb, Jpb, chi2, _ = products
         hw = jnp.where(use_huber, factors.huber_weight(chi2, huber_delta), 1.0)
         w = prob.obs_sigma2_inv * hw * active_obs.astype(dtype)   # (P,MO)
-
-        # bf16 staging for the heavy (P,MO,·) einsums — inputs in bfloat16,
-        # accumulation in f32 on the MXU. The Hessian blocks become mildly
-        # approximate (a preconditioner-quality change; the LM accept test
-        # uses the exact f32 cost), halving the dominant HBM traffic.
-        if use_bf16:
-            bf = jnp.bfloat16
-            Jcb, Jpb = Jc.astype(bf), Jp.astype(bf)
-            wb, rb = w.astype(bf), r.astype(bf)
-            ohb = onehot.astype(bf)
-        else:
-            Jcb, Jpb, wb, rb, ohb = Jc, Jp, w, r, onehot
+        wb = w.astype(stage_dt)
         ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
 
         # point blocks (dense per-point reductions over MO)
@@ -388,32 +404,41 @@ def solve_local_ba(
         # stops early when the chi2 gain becomes negligible, and most of
         # the 40-iteration budget is never used.
         def cond(carry):
-            cam_q, cam_t, pts, lam, cost, it, done = carry
+            _, _, _, _, lam, cost, it, done = carry
             return (it < iters) & ~done
 
         def body(carry):
-            cam_q, cam_t, pts, lam, cost, it, done = carry
-            nq, nt, npts = lm_iteration(
-                cam_q, cam_t, pts, lam, active_obs, active_str, use_huber
+            cam_q, cam_t, pts, products, lam, cost, it, done = carry
+            nq, nt, npts = lm_step(
+                products, cam_q, cam_t, pts, lam, active_obs, active_str, use_huber
             )
-            new_cost = total_cost(nq, nt, npts, active_obs, active_str, use_huber)
+            nproducts = products_at(nq, nt, npts)
+            new_cost = cost_from(
+                nproducts, nq, nt, npts, active_obs, active_str, use_huber
+            )
             accept = new_cost < cost
             gain = (cost - new_cost) / jnp.maximum(cost, 1e-12)
             done = (accept & (gain < term_gain)) | (lam > 1e4)
             cam_q = jnp.where(accept, nq, cam_q)
             cam_t = jnp.where(accept, nt, cam_t)
             pts = jnp.where(accept, npts, pts)
+            products = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), nproducts, products
+            )
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
             cost = jnp.minimum(new_cost, cost)
-            return cam_q, cam_t, pts, lam, cost, it + 1, done
+            return cam_q, cam_t, pts, products, lam, cost, it + 1, done
 
-        cam_q, cam_t, pts, lam0, _, it_tot = state
-        cost0 = total_cost(cam_q, cam_t, pts, active_obs, active_str, use_huber)
+        cam_q, cam_t, pts, products, lam0, it_tot = state
+        cost0 = cost_from(
+            products, cam_q, cam_t, pts, active_obs, active_str, use_huber
+        )
         out = jax.lax.while_loop(
             cond, body,
-            (cam_q, cam_t, pts, lam0, cost0, jnp.array(0), jnp.array(False)),
+            (cam_q, cam_t, pts, products, lam0, cost0, jnp.array(0),
+             jnp.array(False)),
         )
-        return out[:5] + (it_tot + out[5],)
+        return out[:5] + (it_tot + out[6],)
 
     use_huber = jnp.array(True)
     active_obs = prob.obs_valid & obs_exists
@@ -421,7 +446,8 @@ def solve_local_ba(
 
     state = (
         prob.cam_q, prob.cam_t, prob.pts,
-        jnp.array(1e-4, dtype), jnp.array(jnp.inf, dtype), jnp.array(0),
+        products_at(prob.cam_q, prob.cam_t, prob.pts),
+        jnp.array(1e-4, dtype), jnp.array(0),
     )
     state = run_stage(state, active_obs, active_str, use_huber, iters1)
 
@@ -434,9 +460,10 @@ def solve_local_ba(
 
     state = run_stage(state, active_obs, active_str, use_huber, iters2)
 
-    # stage-2 -> stage-3 gate: drop bad reprojection edges, drop Huber (:797-825)
-    cam_q2, cam_t2, pts_s2 = state[0], state[1], state[2]
-    chi2_o, depth_ok = _obs_residuals(cam, prob, cam_q2, cam_t2, pts_s2)
+    # stage-2 -> stage-3 gate: drop bad reprojection edges, drop Huber
+    # (:797-825) — chi2/depth at the stage-2 state come from the carried
+    # products, no extra residual pass.
+    chi2_o, depth_ok = state[3][3], state[3][4]
     bad_obs = (chi2_o > chi2_th) | ~depth_ok
     active_obs = active_obs & ~bad_obs
     use_huber = jnp.array(False)
@@ -444,8 +471,8 @@ def solve_local_ba(
     state = run_stage(state, active_obs, active_str, use_huber, iters3)
     cam_q_f, cam_t_f, pts_f = state[0], state[1], state[2]
 
-    # final classification (:837-894)
-    chi2_f, depth_ok_f = _obs_residuals(cam, prob, cam_q_f, cam_t_f, pts_f)
+    # final classification (:837-894) from the final carried products
+    chi2_f, depth_ok_f = state[3][3], state[3][4]
     obs_bad = prob.obs_valid & obs_exists & ((chi2_f > chi2_th) | ~depth_ok_f)
     rs_f = factors.pt2plane_residual(pts_f, prob.str_mean, prob.str_normal)
     chi2_deg_f = ba_lambda2 * rs_f * rs_f
@@ -454,7 +481,9 @@ def solve_local_ba(
         & (prob.str_type == STR_DEG)
         & (chi2_deg_f > tri_str_thresh * ba_lambda2)
     )
-    cost_f = total_cost(cam_q_f, cam_t_f, pts_f, active_obs, active_str, use_huber)
+    cost_f = cost_from(
+        state[3], cam_q_f, cam_t_f, pts_f, active_obs, active_str, use_huber
+    )
     return BAResult(
         cam_q_f, cam_t_f, pts_f, obs_bad, str_drop, chi2_f, cost_f,
         state[5].astype(jnp.int32),
