@@ -311,3 +311,22 @@ def fuse_match(
     d0 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
     matched = (d0 <= TH_LOW) & pt_valid
     return jnp.where(matched, best, -1)
+
+
+# vmapped variant: one dispatch for ALL covisible neighbor pairs of a new
+# keyframe (the per-neighbor loop cost T device round-trips per KF).
+# KF1's features are broadcast; KF2 features / F / epipole carry the batch
+# axis. Returns (T, N1) match tables.
+search_for_triangulation_batch = jax.jit(
+    jax.vmap(
+        search_for_triangulation,
+        in_axes=(None, None, None, None, None, None,
+                 0, 0, 0, 0, 0, 0, 0, 0, None),
+    )
+)
+
+# vmapped fusion matching over all target KFs of searchInNeighbors: query
+# sets and target features both carry the batch axis. Returns (T, P).
+fuse_match_batch = jax.jit(
+    jax.vmap(fuse_match, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+)

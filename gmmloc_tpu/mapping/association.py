@@ -24,6 +24,7 @@ from ..geometry import camera as cam_mod
 from ..gmm import gaussian, mixture, render as render_mod
 from ..mapping import map_state as ms
 from ..solver import point_solver
+from ..utils.fetch import fetch
 from ..utils.timing import Timer
 
 
@@ -75,7 +76,7 @@ class GMMAssociator:
             knn=g.assoc_knn,
             mdist2_thresh=g.assoc_mdist2_thresh,
         )
-        world.kf_comp_cand[kf] = np.asarray(cand)
+        world.kf_comp_cand[kf] = fetch(cand)
         t_sc.stop()
 
     # ------------------------------------------------------------------
@@ -139,11 +140,8 @@ class GMMAssociator:
                 iters=cfg.point_opt_iters,
                 tri_check_str_chi2=cfg.tri_check_str_chi2,
             )
-            return (
-                np.asarray(res.x)[:n],
-                np.asarray(res.chi2_proj)[:n],
-                np.asarray(res.ok)[:n] & (comp_ids_flat >= 0),
-            )
+            x, c, ok = fetch((res.x, res.chi2_proj, res.ok))
+            return x[:n], c[:n], ok[:n] & (comp_ids_flat >= 0)
 
         # pass 1: all (feature x candidate) pairs
         flat_comp = cand.reshape(-1)
@@ -206,7 +204,7 @@ class GMMAssociator:
         # assoc = -1 (the reference returns nullptr there too).
         miss = np.where(~found)[0]
         if len(miss):
-            nearest = np.asarray(
+            nearest = fetch(
                 render_mod.query_point_3d(
                     self.gmap,
                     jnp.array(pts0[miss], jnp.float32),
@@ -247,28 +245,22 @@ class GMMAssociator:
         if len(order) == 0:
             return 0
 
-        # candidate set: features needing a new point
-        need = []
-        for i in order:
-            p = frame.mappoint[i]
-            if p < 0 or world.pt_n_obs[p] < 1:
-                if p >= 0:
-                    frame.mappoint[i] = -1
-                need.append(i)
+        # candidate set: features needing a new point (vectorized)
+        p_all = frame.mappoint[order]
+        need_mask = (p_all < 0) | (world.pt_n_obs[np.maximum(p_all, 0)] < 1)
+        frame.mappoint[order[need_mask & (p_all >= 0)]] = -1
 
-        # apply the depth/quota cutoff over the sorted order (:108-111)
-        num_points = 0
-        kept = []
-        need_set = set(need)
-        for i in order:
-            num_points += 1
-            if i in need_set:
-                kept.append(i)
-            if check_depth and depth[i] > th_depth and num_points > 100:
-                break
-        if not kept:
+        # apply the depth/quota cutoff over the sorted order (:108-111):
+        # stop after the first position where depth > th and count > 100
+        if check_depth:
+            zo = depth[order]
+            stop = (zo > th_depth) & (np.arange(1, len(order) + 1) > 100)
+            n_proc = int(np.argmax(stop)) + 1 if stop.any() else len(order)
+        else:
+            n_proc = len(order)
+        kept = order[:n_proc][need_mask[:n_proc]]
+        if len(kept) == 0:
             return 0
-        kept = np.array(kept)
 
         # unproject all kept features
         q_wc, t_wc = ms._inverse(world.kf_q[kf], world.kf_t[kf])
@@ -294,19 +286,26 @@ class GMMAssociator:
             assoc[ci] = a
             pts[ci] = p_new
 
-        created = 0
-        for j, i in enumerate(kept):
-            if has_cand[j] and assoc[j] < 0:
-                continue  # gated out (gmmloc_opt.cpp:79-81)
-            pid = world.alloc_point(pts[j], ref_kf=kf, created_kf_idx=world.kf_frame_idx[kf])
-            if assoc[j] >= 0:
-                world.pt_assoc_comp[pid] = assoc[j]
-                world.pt_type[pid] = ms.PT_FROM_DEPTH_GMM
-            else:
-                world.pt_type[pid] = ms.PT_FROM_DEPTH
-            world.add_observation(pid, kf, int(i))
-            world.compute_distinctive_descriptor(pid)
-            world.update_normal_and_depth(pid)
-            frame.mappoint[i] = pid
-            created += 1
-        return created
+        ok = ~(has_cand & (assoc < 0))   # gated out (gmmloc_opt.cpp:79-81)
+        sel = np.where(ok)[0]
+        if len(sel) == 0:
+            return 0
+        pids = np.array(
+            [
+                world.alloc_point(
+                    pts[j], ref_kf=kf, created_kf_idx=world.kf_frame_idx[kf]
+                )
+                for j in sel
+            ],
+            np.int64,
+        )
+        a = assoc[sel]
+        world.pt_assoc_comp[pids[a >= 0]] = a[a >= 0]
+        world.pt_type[pids] = np.where(
+            a >= 0, ms.PT_FROM_DEPTH_GMM, ms.PT_FROM_DEPTH
+        ).astype(world.pt_type.dtype)
+        world.add_observations_batch(pids, kf, kept[sel])
+        world.compute_distinctive_descriptor_batch(pids)
+        world.update_normal_and_depth_batch(pids)
+        frame.mappoint[kept[sel]] = pids
+        return len(pids)

@@ -22,6 +22,7 @@ from ..config import SystemConfig
 from ..features import matching
 from ..geometry import camera as cam_mod
 from ..solver import local_ba, point_solver
+from ..utils.fetch import fetch
 from ..utils.timing import Timer
 from . import map_state as ms
 from .association import GMMAssociator
@@ -88,141 +89,178 @@ class Localization:
         kf = self.queue.pop(0)
         self.curr_kf = kf
         obs = w.kf_obs_point[kf]
-        new_pts = []
-        for i in np.where(obs >= 0)[0]:
-            p = obs[i]
-            if not w.pt_valid[p]:
-                w.kf_obs_point[kf, i] = -1
-                continue
-            if not (w.pt_obs_kf[p] == kf).any():
-                w.add_observation(p, kf, int(i))
-                new_pts.append(p)
-            else:
-                self.candidate_points.append(p)
-        for p in new_pts:
-            w.compute_distinctive_descriptor(p)
-        if new_pts:
-            w.update_normal_and_depth_batch(np.array(new_pts))
+        idx = np.where(obs >= 0)[0]
+        p = obs[idx]
+        bad = ~w.pt_valid[p]
+        w.kf_obs_point[kf, idx[bad]] = -1
+        idx, p = idx[~bad], p[~bad]
+        already = (w.pt_obs_kf[p] == kf).any(axis=1)
+        # duplicate bindings of one point within this KF: first wins (the
+        # reference loop routes later ones to candidate_points)
+        _, first = np.unique(p, return_index=True)
+        dup = np.ones(len(p), bool)
+        dup[first] = False
+        self.candidate_points.extend(p[already | dup].tolist())
+        keep = ~already & ~dup
+        new_pts, new_idx = p[keep], idx[keep]
+        # clear the to-be-bound slots so add_observations_batch's identity
+        # check doesn't skip them (they were pre-staged by process_keyframe)
+        w.kf_obs_point[kf, new_idx] = -1
+        w.add_observations_batch(new_pts, kf, new_idx)
+        w.compute_distinctive_descriptor_batch(new_pts)
+        w.update_normal_and_depth_batch(new_pts)
         w.update_connections(kf)
 
     def remove_map_points(self) -> None:
         """Cull recent map points (localization.cpp:127-150)."""
         w = self.world
         curr_idx = w.kf_frame_idx[self.curr_kf]
-        keep = []
-        for p in self.candidate_points:
-            if not w.pt_valid[p]:
-                continue
-            found_ratio = w.pt_num_found[p] / max(1, w.pt_num_visible[p])
-            age = curr_idx - w.pt_created_kf_idx[p]
-            if found_ratio < self.cfg.loc.cull_found_ratio:
-                w.remove_point(p)
-            elif age >= 2 and w.pt_n_obs[p] <= self.cfg.loc.cull_min_obs:
-                w.remove_point(p)
-            elif age >= 3:
-                pass  # mature: stop monitoring
-            else:
-                keep.append(p)
-        self.candidate_points = keep
+        cand = np.array(sorted(set(self.candidate_points)), np.int64)
+        if len(cand) == 0:
+            return
+        cand = cand[w.pt_valid[cand]]
+        found_ratio = w.pt_num_found[cand] / np.maximum(1, w.pt_num_visible[cand])
+        age = curr_idx - w.pt_created_kf_idx[cand]
+        cull = (found_ratio < self.cfg.loc.cull_found_ratio) | (
+            (age >= 2) & (w.pt_n_obs[cand] <= self.cfg.loc.cull_min_obs)
+        )
+        for p in cand[cull]:
+            w.remove_point(p)
+        keep = ~cull & (age < 3)  # mature (age>=3) points stop being monitored
+        self.candidate_points = cand[keep].tolist()
 
     # ------------------------------------------------------------------
 
+    def _fundamental_np(self, q1, t1, q2, t2) -> np.ndarray:
+        """Host F with l2 = F^T p1 (ref: math_utils.cpp:17-44). 3x3 math —
+        not worth a device round trip."""
+        q12, t12 = ms._compose(q1, t1, *ms._inverse(q2, t2))
+        R12 = ms._quat_to_mat(q12)
+        tx = np.array(
+            [
+                [0, -t12[2], t12[1]],
+                [t12[2], 0, -t12[0]],
+                [-t12[1], t12[0], 0],
+            ]
+        )
+        Kinv = np.linalg.inv(self._K)
+        return Kinv.T @ (tx @ R12) @ Kinv
+
     def create_map_points(self) -> int:
         """Triangulate new points with covisible KFs
-        (localization_opt.cpp:206-455)."""
+        (localization_opt.cpp:206-455).
+
+        The reference's per-neighbor loop (10 sequential searches + solves)
+        is batched: ONE vmapped epipolar search over all neighbor pairs and
+        ONE batched triangulation solve over all candidate matches, with
+        first-wins-by-covisibility-order selection replacing the sequential
+        free-feature update between pairs."""
         w = self.world
         cfg = self.cfg
         kf1 = self.curr_kf
         neigh = w.best_covisible(kf1, 10)
         sigma2 = w.pyr["sigma2"]
-        sf = w.pyr["scale_factors"]
         ratio_factor = 1.5 * cfg.frame.scale_factor
 
         q1, t1 = w.kf_q[kf1], w.kf_t[kf1]
         q1_wc, t1_wc = ms._inverse(q1, t1)
-        R1_wc = ms._quat_to_mat(q1_wc)
         baseline_min = self.cam.bf / self.cam.fx
 
-        free1 = w.kf_feat_valid[kf1] & (w.kf_obs_point[kf1] < 0)
-        n_new = 0
+        kf2s, fmats, eps = [], [], []
         for kf2 in neigh:
-            t2_wc = -ms._quat_to_mat(w.kf_q[kf2]).T @ w.kf_t[kf2]
+            R2 = ms._quat_to_mat(w.kf_q[kf2])
+            t2 = w.kf_t[kf2]
+            t2_wc = -R2.T @ t2
             if np.linalg.norm(t2_wc - t1_wc) < baseline_min:
                 continue  # too-short baseline (:259-262)
-
-            q2, t2 = w.kf_q[kf2], w.kf_t[kf2]
-            fmat = np.asarray(
-                matching.fundamental_matrix(
-                    jnp.array(q1, jnp.float32), jnp.array(t1, jnp.float32),
-                    jnp.array(q2, jnp.float32), jnp.array(t2, jnp.float32),
-                    jnp.array(self._K, jnp.float32), jnp.array(self._K, jnp.float32),
-                )
-            )
+            fmats.append(self._fundamental_np(q1, t1, w.kf_q[kf2], t2))
             # epipole of KF1 center in KF2 (:156-161)
-            C2 = ms._quat_to_mat(q2) @ t1_wc + t2
-            ep = np.array(
+            C2 = R2 @ t1_wc + t2
+            eps.append(
                 [
                     self.cam.fx * C2[0] / C2[2] + self.cam.cx,
                     self.cam.fy * C2[1] / C2[2] + self.cam.cy,
                 ]
             )
-            free2 = w.kf_feat_valid[kf2] & (w.kf_obs_point[kf2] < 0)
-            match12 = np.asarray(
-                matching.search_for_triangulation(
-                    jnp.array(w.kf_feat_uv[kf1], jnp.float32),
-                    jnp.array(w.kf_feat_ur[kf1], jnp.float32),
-                    jnp.array(w.kf_feat_desc[kf1]),
-                    jnp.array(w.kf_feat_octave[kf1]),
-                    jnp.array(w.kf_feat_angle[kf1]),
-                    jnp.array(free1),
-                    jnp.array(w.kf_feat_uv[kf2], jnp.float32),
-                    jnp.array(w.kf_feat_ur[kf2], jnp.float32),
-                    jnp.array(w.kf_feat_desc[kf2]),
-                    jnp.array(w.kf_feat_octave[kf2]),
-                    jnp.array(w.kf_feat_angle[kf2]),
-                    jnp.array(free2),
-                    jnp.array(fmat, jnp.float32),
-                    jnp.array(ep, jnp.float32),
-                    jnp.array(sigma2, jnp.float32),
-                )
-            )
-            idx1 = np.where(match12 >= 0)[0]
-            if len(idx1) == 0:
-                continue
-            idx2 = match12[idx1]
-            created = self._triangulate_matches(kf1, kf2, idx1, idx2, ratio_factor)
-            n_new += created
-            free1 = w.kf_feat_valid[kf1] & (w.kf_obs_point[kf1] < 0)
-        return n_new
+            kf2s.append(int(kf2))
+        if not kf2s:
+            return 0
+        T = len(kf2s)
+        TP = 10  # fixed batch tier: one compiled program for all KF counts
+        kf2_pad = kf2s + [kf2s[0]] * (TP - T)
+        fmat_pad = np.stack(fmats + [fmats[0]] * (TP - T)).astype(np.float32)
+        ep_pad = np.array(eps + [eps[0]] * (TP - T), np.float32)
+        free1 = w.kf_feat_valid[kf1] & (w.kf_obs_point[kf1] < 0)
+        free2 = w.kf_feat_valid[kf2_pad] & (w.kf_obs_point[kf2_pad] < 0)
+        free2[T:] = False  # padded rows match nothing
 
-    def _triangulate_matches(self, kf1, kf2, idx1, idx2, ratio_factor) -> int:
+        match = fetch(
+            matching.search_for_triangulation_batch(
+                jnp.array(w.kf_feat_uv[kf1], jnp.float32),
+                jnp.array(w.kf_feat_ur[kf1], jnp.float32),
+                jnp.array(w.kf_feat_desc[kf1]),
+                jnp.array(w.kf_feat_octave[kf1]),
+                jnp.array(w.kf_feat_angle[kf1]),
+                jnp.array(free1),
+                jnp.array(w.kf_feat_uv[kf2_pad], jnp.float32),
+                jnp.array(w.kf_feat_ur[kf2_pad], jnp.float32),
+                jnp.array(w.kf_feat_desc[kf2_pad]),
+                jnp.array(w.kf_feat_octave[kf2_pad]),
+                jnp.array(w.kf_feat_angle[kf2_pad]),
+                jnp.array(free2),
+                jnp.array(fmat_pad),
+                jnp.array(ep_pad),
+                jnp.array(sigma2, jnp.float32),
+            )
+        )[:T]                                             # (T, F)
+
+        # flatten candidates across pairs, keeping covisibility order
+        pair_t, idx1 = np.nonzero(match >= 0)
+        if len(idx1) == 0:
+            return 0
+        idx2 = match[pair_t, idx1]
+        kf2_of = np.array(kf2s)[pair_t]
+        return self._triangulate_matches(
+            kf1, kf2_of, idx1, idx2, ratio_factor, pair_order=pair_t
+        )
+
+    def _triangulate_matches(
+        self, kf1, kf2_of, idx1, idx2, ratio_factor, pair_order=None
+    ) -> int:
         """Init (DLT / stereo unproject) + batched GMM-constrained solve +
-        acceptance gates (localization_opt.cpp:283-445)."""
+        acceptance gates (localization_opt.cpp:283-445), vectorized over
+        matches from ALL neighbor pairs at once (`kf2_of` is per-match).
+        `pair_order` (covisibility rank of each match's pair) drives the
+        first-wins selection replacing the reference's sequential
+        feature-occupancy update between pairs."""
         w = self.world
         cfg = self.cfg
         cam = self.cam
+        kf2_of = np.asarray(kf2_of)
         M = len(idx1)
         sigma2 = w.pyr["sigma2"]
         sigma2_inv = w.pyr["sigma2_inv"]
         sf = w.pyr["scale_factors"]
 
         q1, t1 = w.kf_q[kf1], w.kf_t[kf1]
-        q2, t2 = w.kf_q[kf2], w.kf_t[kf2]
-        R1, R2 = ms._quat_to_mat(q1), ms._quat_to_mat(q2)
+        q2, t2 = w.kf_q[kf2_of], w.kf_t[kf2_of]          # (M,4), (M,3)
+        R1 = ms._quat_to_mat(q1)
+        R2 = ms._quat_to_mat_batch(q2)                    # (M,3,3)
         T1 = np.eye(4)
         T1[:3, :3], T1[:3, 3] = R1, t1
-        T2 = np.eye(4)
-        T2[:3, :3], T2[:3, 3] = R2, t2
-        t1_wc, t2_wc = -R1.T @ t1, -R2.T @ t2
+        T2 = np.tile(np.eye(4), (M, 1, 1))
+        T2[:, :3, :3], T2[:, :3, 3] = R2, t2
+        t1_wc = -R1.T @ t1
+        t2_wc = -np.einsum("mji,mj->mi", R2, t2)          # (M,3)
 
         uv1 = w.kf_feat_uv[kf1][idx1]
-        uv2 = w.kf_feat_uv[kf2][idx2]
+        uv2 = w.kf_feat_uv[kf2_of, idx2]
         ur1 = w.kf_feat_ur[kf1][idx1]
-        ur2 = w.kf_feat_ur[kf2][idx2]
+        ur2 = w.kf_feat_ur[kf2_of, idx2]
         z1 = w.kf_feat_depth[kf1][idx1]
-        z2 = w.kf_feat_depth[kf2][idx2]
+        z2 = w.kf_feat_depth[kf2_of, idx2]
         oct1 = w.kf_feat_octave[kf1][idx1]
-        oct2 = w.kf_feat_octave[kf2][idx2]
+        oct2 = w.kf_feat_octave[kf2_of, idx2]
         st1 = ur1 >= 0
         st2 = ur2 >= 0
 
@@ -232,9 +270,8 @@ class Localization:
         xn2 = np.stack(
             [(uv2[:, 0] - cam.cx) / cam.fx, (uv2[:, 1] - cam.cy) / cam.fy, np.ones(M)], -1
         )
-        ray1 = xn1 @ R1  # = R1^T? careful: ray in world = R_wc @ xn = R1.T @ xn
         ray1 = xn1 @ R1  # (M,3) rows xn1 R1 -> components (R1^T xn1)^T
-        ray2 = xn2 @ R2
+        ray2 = np.einsum("mi,mij->mj", xn2, R2)
         cos_rays = np.einsum("mi,mi->m", ray1, ray2) / (
             np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1)
         )
@@ -259,8 +296,8 @@ class Localization:
                 [
                     xn1[di, 0, None] * T1[2] - T1[0],
                     xn1[di, 1, None] * T1[2] - T1[1],
-                    xn2[di, 0, None] * T2[2] - T2[0],
-                    xn2[di, 1, None] * T2[2] - T2[1],
+                    xn2[di, 0, None] * T2[di, 2] - T2[di, 0],
+                    xn2[di, 1, None] * T2[di, 2] - T2[di, 1],
                 ],
                 axis=1,
             )                                           # (n, 4, 4)
@@ -275,7 +312,9 @@ class Localization:
             pts0[s1i] = (xn1[s1i] * z1[s1i, None] - t1) @ R1
         s2i_ = np.where(use_s2)[0]
         if len(s2i_):
-            pts0[s2i_] = (xn2[s2i_] * z2[s2i_, None] - t2) @ R2
+            pts0[s2i_] = np.einsum(
+                "mi,mij->mj", xn2[s2i_] * z2[s2i_, None] - t2[s2i_], R2[s2i_]
+            )
 
         mi = np.where(usable)[0]
         if len(mi) == 0:
@@ -283,7 +322,7 @@ class Localization:
 
         # candidate degenerate components: union of both features' candidates
         cand1 = w.kf_comp_cand[kf1][idx1]          # (M, K)
-        cand2 = w.kf_comp_cand[kf2][idx2]
+        cand2 = w.kf_comp_cand[kf2_of, idx2]
         cands = np.concatenate([cand1, cand2], axis=1)  # (M, 2K)
         deg = self.assoc._deg
         cands = np.where((cands >= 0) & deg[np.maximum(cands, 0)], cands, -1)
@@ -309,28 +348,30 @@ class Localization:
 
         safe_c = np.maximum(padb(flat_c, 0), 0)
         rep = lambda a: np.repeat(a[mi], CK, axis=0)
-        x_opt, c1o, c2o, cso = point_solver.optimize_triangulation(
-            self.cam,
-            jnp.array(padb(rep(pts0)), jnp.float32),
-            jnp.tile(jnp.array(q1, jnp.float32), (B, 1)),
-            jnp.tile(jnp.array(t1, jnp.float32), (B, 1)),
-            jnp.array(padb(rep(obs1)), jnp.float32),
-            jnp.array(padb(rep(st1), False)),
-            jnp.array(padb(rep(s2i1), 1.0), jnp.float32),
-            jnp.tile(jnp.array(q2, jnp.float32), (B, 1)),
-            jnp.tile(jnp.array(t2, jnp.float32), (B, 1)),
-            jnp.array(padb(rep(obs2)), jnp.float32),
-            jnp.array(padb(rep(st2), False)),
-            jnp.array(padb(rep(s2i2), 1.0), jnp.float32),
-            jnp.array(self.assoc._normal[safe_c], jnp.float32),
-            jnp.array(self.assoc._means[safe_c], jnp.float32),
-            tri_lambda2=cfg.loc.tri_lambda2,
-            iters=cfg.loc.tri_opt_iters,
+        x_opt, c1o, c2o, cso = fetch(
+            point_solver.optimize_triangulation(
+                self.cam,
+                jnp.array(padb(rep(pts0)), jnp.float32),
+                jnp.tile(jnp.array(q1, jnp.float32), (B, 1)),
+                jnp.tile(jnp.array(t1, jnp.float32), (B, 1)),
+                jnp.array(padb(rep(obs1)), jnp.float32),
+                jnp.array(padb(rep(st1), False)),
+                jnp.array(padb(rep(s2i1), 1.0), jnp.float32),
+                jnp.array(padb(rep(q2)), jnp.float32),
+                jnp.array(padb(rep(t2)), jnp.float32),
+                jnp.array(padb(rep(obs2)), jnp.float32),
+                jnp.array(padb(rep(st2), False)),
+                jnp.array(padb(rep(s2i2), 1.0), jnp.float32),
+                jnp.array(self.assoc._normal[safe_c], jnp.float32),
+                jnp.array(self.assoc._means[safe_c], jnp.float32),
+                tri_lambda2=cfg.loc.tri_lambda2,
+                iters=cfg.loc.tri_opt_iters,
+            )
         )
-        x_opt = np.asarray(x_opt)[:n_flat].reshape(len(mi), CK, 3)
-        c1o = np.asarray(c1o)[:n_flat].reshape(len(mi), CK)
-        c2o = np.asarray(c2o)[:n_flat].reshape(len(mi), CK)
-        cso = np.asarray(cso)[:n_flat].reshape(len(mi), CK)
+        x_opt = x_opt[:n_flat].reshape(len(mi), CK, 3)
+        c1o = c1o[:n_flat].reshape(len(mi), CK)
+        c2o = c2o[:n_flat].reshape(len(mi), CK)
+        cso = cso[:n_flat].reshape(len(mi), CK)
 
         th1 = np.where(st1[mi], 7.8, 5.991)[:, None]
         th2 = np.where(st2[mi], 7.8, 5.991)[:, None]
@@ -348,8 +389,7 @@ class Localization:
         # acceptance gates (:358-412): reprojection into both KFs + scale —
         # vectorized over all usable matches; only the map surgery for the
         # survivors stays a loop
-        def reproj_ok(Rk, tk, uvk, urk, stk):
-            pc = pts @ Rk.T + tk                       # (n, 3)
+        def reproj_ok(pc, uvk, urk, stk):
             z = pc[:, 2]
             zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
             u = cam.fx * pc[:, 0] / zs + cam.cx
@@ -362,10 +402,11 @@ class Localization:
             # (:371,:382 use kp1's octave even for kp2 — mirrored here)
             return (z > 0) & (e <= th * sigma2[oct1[mi]])
 
-        ok_pt = reproj_ok(R1, t1, uv1[mi], ur1[mi], st1[mi])
-        ok_pt &= reproj_ok(R2, t2, uv2[mi], ur2[mi], st2[mi])
+        ok_pt = reproj_ok(pts @ R1.T + t1, uv1[mi], ur1[mi], st1[mi])
+        pc2 = np.einsum("mij,mj->mi", R2[mi], pts) + t2[mi]
+        ok_pt &= reproj_ok(pc2, uv2[mi], ur2[mi], st2[mi])
         d1 = np.linalg.norm(pts - t1_wc, axis=1)
-        d2 = np.linalg.norm(pts - t2_wc, axis=1)
+        d2 = np.linalg.norm(pts - t2_wc[mi], axis=1)
         ok_pt &= (d1 >= 1e-9) & (d2 >= 1e-9)
         ratio_dist = d2 / np.maximum(d1, 1e-9)
         ratio_oct = sf[oct1[mi]] / sf[oct2[mi]]
@@ -373,28 +414,44 @@ class Localization:
             ratio_dist <= ratio_oct * ratio_factor
         )
 
-        created = 0
-        for j in np.where(ok_pt)[0]:
-            m = mi[j]
-            pt = pts[j]
-            pid = w.alloc_point(pt, ref_kf=kf1, created_kf_idx=w.kf_frame_idx[kf1])
-            if from_mono[m]:
-                w.pt_type[pid] = (
-                    ms.PT_FROM_TRI_MONO_GMM if has_str[j] else ms.PT_FROM_TRI_MONO
+        # first-wins per kf1 feature across pairs (covisibility order):
+        # mirrors the reference's sequential feature-occupancy update —
+        # a feature failing the gates in one pair stays available to later
+        # pairs, exactly as its reference free1 recomputation behaves.
+        win = np.where(ok_pt)[0]                     # mi-indices of survivors
+        if len(win) == 0:
+            return 0
+        # `mi` (and thus win) is already sorted in pair-major order
+        _, first = np.unique(idx1[mi[win]], return_index=True)
+        win = win[np.sort(first)]
+
+        # batched creation (alloc loop + vectorized binding/attrs)
+        m_sel = mi[win]
+        pids = np.array(
+            [
+                w.alloc_point(
+                    pts[j], ref_kf=kf1, created_kf_idx=w.kf_frame_idx[kf1]
                 )
-            else:
-                w.pt_type[pid] = (
-                    ms.PT_FROM_TRI_STEREO_GMM if has_str[j] else ms.PT_FROM_TRI_STEREO
-                )
-            if has_str[j]:
-                w.pt_assoc_comp[pid] = str_comp[j]
-            w.add_observation(pid, kf1, int(idx1[m]))
-            w.add_observation(pid, kf2, int(idx2[m]))
-            w.compute_distinctive_descriptor(pid)
-            w.update_normal_and_depth(pid)
-            self.candidate_points.append(pid)
-            created += 1
-        return created
+                for j in win
+            ],
+            np.int64,
+        )
+        mono = from_mono[m_sel]
+        hstr = has_str[win]
+        w.pt_type[pids] = np.where(
+            mono,
+            np.where(hstr, ms.PT_FROM_TRI_MONO_GMM, ms.PT_FROM_TRI_MONO),
+            np.where(hstr, ms.PT_FROM_TRI_STEREO_GMM, ms.PT_FROM_TRI_STEREO),
+        ).astype(w.pt_type.dtype)
+        w.pt_assoc_comp[pids[hstr]] = str_comp[win][hstr]
+        w.add_observations_batch(pids, kf1, idx1[m_sel])
+        for k2 in np.unique(kf2_of[m_sel]):
+            g = kf2_of[m_sel] == k2
+            w.add_observations_batch(pids[g], int(k2), idx2[m_sel][g])
+        w.compute_distinctive_descriptor_batch(pids)
+        w.update_normal_and_depth_batch(pids)
+        self.candidate_points.extend(pids.tolist())
+        return len(pids)
 
     # ------------------------------------------------------------------
 
@@ -418,40 +475,41 @@ class Localization:
 
         obs = w.kf_obs_point[kf]
         curr_pts = np.unique(obs[obs >= 0])
-        for k in tgt:
-            self._fuse(k, curr_pts)
 
-        fuse_cand = []
-        for k in tgt:
-            o = w.kf_obs_point[k]
-            for p in np.unique(o[o >= 0]):
-                if w.pt_valid[p] and w.pt_fuse_tgt_kf[p] != w.kf_frame_idx[kf]:
-                    w.pt_fuse_tgt_kf[p] = w.kf_frame_idx[kf]
-                    fuse_cand.append(p)
-        if fuse_cand:
-            self._fuse(kf, np.array(fuse_cand))
+        # candidates for the reverse direction, de-duplicated by stamp
+        all_tgt_pts = w.kf_obs_point[tgt].ravel() if tgt else np.zeros(0, np.int32)
+        all_tgt_pts = np.unique(all_tgt_pts[all_tgt_pts >= 0])
+        stamp = w.kf_frame_idx[kf]
+        fc = all_tgt_pts[
+            w.pt_valid[all_tgt_pts] & (w.pt_fuse_tgt_kf[all_tgt_pts] != stamp)
+        ]
+        w.pt_fuse_tgt_kf[fc] = stamp
+
+        # ONE vmapped fuse-match dispatch for all (target, query-set) jobs
+        jobs = [(int(k), curr_pts) for k in tgt]
+        if len(fc):
+            jobs.append((kf, fc))
+        self._fuse_jobs(jobs)
 
         o = w.kf_obs_point[kf]
         upd = np.unique(o[o >= 0])
-        for p in upd:
-            if w.pt_valid[p]:
-                w.compute_distinctive_descriptor(p)
+        w.compute_distinctive_descriptor_batch(upd)
         w.update_normal_and_depth_batch(upd)
         w.update_connections(kf)
 
-    def _fuse(self, kf: int, pids: np.ndarray, th: float = 3.0) -> int:
-        """Project points into kf, match, add/replace observations
-        (localization.cpp fuseObservations:226-325)."""
+    def _fuse_prepare(self, kf: int, pids: np.ndarray, th: float = 3.0):
+        """Host-side gating for fuseObservations (localization.cpp:226-325):
+        project, scale/view-cos gates, predicted level. Returns the query
+        arrays for the device matcher or None."""
         w = self.world
         cam = self.cam
         pids = pids[w.pt_valid[pids]]
-        # skip points already observed by kf
-        not_obs = np.array(
-            [not (w.pt_obs_kf[p] == kf).any() for p in pids], dtype=bool
-        ) if len(pids) else np.zeros(0, bool)
-        pids = pids[not_obs]
         if len(pids) == 0:
-            return 0
+            return None
+        # skip points already observed by kf (vectorized)
+        pids = pids[~(w.pt_obs_kf[pids] == kf).any(axis=1)]
+        if len(pids) == 0:
+            return None
 
         R = ms._quat_to_mat(w.kf_q[kf])
         t = w.kf_t[kf]
@@ -480,53 +538,95 @@ class Localization:
 
         pids, u, v, ur, lvl = pids[ok], u[ok], v[ok], ur[ok], lvl[ok]
         if len(pids) == 0:
-            return 0
+            return None
         sf = w.pyr["scale_factors"]
-        # batched window/chi2/Hamming matching on device (fuse_match kernel);
-        # only the map-surgery loop over the few winners stays on host
+        return (pids, np.stack([u, v], -1), ur, lvl, th * sf[lvl])
+
+    def _fuse_jobs(self, jobs) -> int:
+        """Batched fuseObservations over many (target KF, query set) jobs:
+        one vmapped device dispatch + one fetch replaces the per-target
+        loop's T round trips."""
+        w = self.world
         from .association import bucket_size
 
-        n = len(pids)
-        B = bucket_size(n)
+        prepped = []
+        for k, pids in jobs:
+            pr = self._fuse_prepare(k, pids)
+            if pr is not None:
+                prepped.append((k,) + pr)
+        if not prepped:
+            return 0
+        T = len(prepped)
+        TP = 1 << max(0, (T - 1).bit_length())          # tier T to pow2
+        B = bucket_size(max(len(p[1]) for p in prepped))
 
         def pad(a, fill, dtype):
             a = np.asarray(a)
             out = np.full((B,) + a.shape[1:], fill, dtype)
-            out[:n] = a
+            out[: len(a)] = a
             return out
 
-        match = np.asarray(
-            matching.fuse_match(
-                jnp.array(pad(np.stack([u, v], -1), 0.0, np.float32)),
-                jnp.array(pad(ur, -1.0, np.float32)),
-                jnp.array(pad(w.pt_desc[pids], 0, np.uint8)),
-                jnp.array(pad(lvl, 0, np.int32)),
-                jnp.array(pad(th * sf[lvl], 1.0, np.float32)),
-                jnp.array(pad(np.ones(n, bool), False, bool)),
-                jnp.array(w.kf_feat_uv[kf], jnp.float32),
-                jnp.array(w.kf_feat_ur[kf], jnp.float32),
-                jnp.array(w.kf_feat_desc[kf]),
-                jnp.array(w.kf_feat_octave[kf]),
-                jnp.array(w.kf_feat_valid[kf]),
+        kfs = [p[0] for p in prepped] + [prepped[0][0]] * (TP - T)
+        q_uv = np.stack(
+            [pad(p[2], 0.0, np.float32) for p in prepped]
+            + [np.zeros((B, 2), np.float32)] * (TP - T)
+        )
+        q_ur = np.stack(
+            [pad(p[3], -1.0, np.float32) for p in prepped]
+            + [np.full(B, -1.0, np.float32)] * (TP - T)
+        )
+        q_desc = np.stack(
+            [pad(w.pt_desc[p[1]], 0, np.uint8) for p in prepped]
+            + [np.zeros((B, 32), np.uint8)] * (TP - T)
+        )
+        q_lvl = np.stack(
+            [pad(p[4], 0, np.int32) for p in prepped]
+            + [np.zeros(B, np.int32)] * (TP - T)
+        )
+        q_rad = np.stack(
+            [pad(p[5], 1.0, np.float32) for p in prepped]
+            + [np.ones(B, np.float32)] * (TP - T)
+        )
+        q_ok = np.stack(
+            [pad(np.ones(len(p[1]), bool), False, bool) for p in prepped]
+            + [np.zeros(B, bool)] * (TP - T)
+        )
+
+        match = fetch(
+            matching.fuse_match_batch(
+                jnp.array(q_uv), jnp.array(q_ur), jnp.array(q_desc),
+                jnp.array(q_lvl), jnp.array(q_rad), jnp.array(q_ok),
+                jnp.array(w.kf_feat_uv[kfs], jnp.float32),
+                jnp.array(w.kf_feat_ur[kfs], jnp.float32),
+                jnp.array(w.kf_feat_desc[kfs]),
+                jnp.array(w.kf_feat_octave[kfs]),
+                jnp.array(w.kf_feat_valid[kfs]),
                 jnp.array(w.pyr["sigma2_inv"], jnp.float32),
             )
-        )[:n]
+        )
+
         num_fused = 0
-        for j in np.where(match >= 0)[0]:
-            p = pids[j]
-            if not w.pt_valid[p]:
-                continue
-            ft = int(match[j])
-            existing = w.kf_obs_point[kf, ft]
-            if existing >= 0 and w.pt_valid[existing]:
-                if w.pt_n_obs[existing] > w.pt_n_obs[p]:
-                    w.replace_point(p, existing)
+        for ti, (k, pids, *_rest) in enumerate(prepped):
+            m = match[ti][: len(pids)]
+            for j in np.where(m >= 0)[0]:
+                p = pids[j]
+                if not w.pt_valid[p]:
+                    continue
+                ft = int(m[j])
+                existing = w.kf_obs_point[k, ft]
+                if existing >= 0 and w.pt_valid[existing]:
+                    if w.pt_n_obs[existing] > w.pt_n_obs[p]:
+                        w.replace_point(p, existing)
+                    else:
+                        w.replace_point(existing, p)
                 else:
-                    w.replace_point(existing, p)
-            else:
-                w.add_observation(p, kf, ft)
-            num_fused += 1
+                    w.add_observation(p, k, ft)
+                num_fused += 1
         return num_fused
+
+    def _fuse(self, kf: int, pids: np.ndarray, th: float = 3.0) -> int:
+        """Single-target fuseObservations (kept for tests/callers)."""
+        return self._fuse_jobs([(kf, pids)])
 
     # ------------------------------------------------------------------
 
@@ -736,25 +836,29 @@ class Localization:
             cg_iters=cfg.loc.ba_cg_iters,
         )
 
-        self.last_ba_iters = int(res.n_iters)
+        # ONE overlapped readback of every BA output
+        new_q, new_t, new_pts, drop_all, bad_all, n_iters = fetch(
+            (res.cam_q, res.cam_t, res.pts, res.str_drop, res.obs_bad,
+             res.n_iters)
+        )
+        self.last_ba_iters = int(n_iters)
 
         # write back poses/points, rejecting implausible jumps: a local-BA
         # step that moves a keyframe by decimetres is divergence (gauge
         # slide / edge-deactivation runaway), not refinement — keep the
         # tracked pose in that case (observed r1: 0.5m slides corrupted
         # the anchored frame exports permanently).
-        new_q = np.asarray(res.cam_q, np.float64)
-        new_t = np.asarray(res.cam_t, np.float64)
+        new_q = new_q.astype(np.float64)
+        new_t = new_t.astype(np.float64)
         for i, k in enumerate(local):
             n = new_q[i] / np.linalg.norm(new_q[i])
             if np.linalg.norm(new_t[i] - w.kf_t[k]) > 0.3:
                 continue
             w.kf_q[k], w.kf_t[k] = n, new_t[i]
-        new_pts = np.asarray(res.pts, np.float64)
-        w.pt_pos[pts_np] = new_pts[:n_act]
+        w.pt_pos[pts_np] = new_pts[:n_act].astype(np.float64)
 
         # association downgrade (:837-855)
-        drop = np.asarray(res.str_drop)[:n_act]
+        drop = drop_all[:n_act]
         dg_lut = np.arange(128, dtype=np.int16)
         for src, dst in ms.DOWNGRADE.items():
             dg_lut[src] = dst
@@ -770,7 +874,7 @@ class Localization:
 
         # erase outlier observations (:857-894) — host surgery over the
         # (few) flagged entries only
-        bad = np.asarray(res.obs_bad)[:n_act] & (obs_kfid[:n_act] >= 0)
+        bad = bad_all[:n_act] & (obs_kfid[:n_act] >= 0)
         for i, oi in np.argwhere(bad):
             p = pts_np[i]
             if w.pt_valid[p]:

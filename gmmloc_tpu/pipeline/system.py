@@ -149,10 +149,10 @@ class GMMLocSystem:
         frame.ref_kf = kf
         # bind tracked landmarks as observations-to-be (consumed by
         # Localization::processNewKeyFrame)
-        for i in np.where(frame.mappoint >= 0)[0]:
-            p = frame.mappoint[i]
-            if self.world.pt_valid[p]:
-                self.world.kf_obs_point[kf, i] = p
+        idx = np.where(frame.mappoint >= 0)[0]
+        p = frame.mappoint[idx]
+        ok = self.world.pt_valid[p]
+        self.world.kf_obs_point[kf, idx[ok]] = p[ok]
         self.assoc.associate_keyframe(self.world, kf)
         self.assoc.create_map_points_from_stereo(
             self.world, frame, kf, check_depth=not is_first

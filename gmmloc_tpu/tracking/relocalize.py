@@ -20,6 +20,7 @@ from ..features import matching
 from ..geometry import camera as cam_mod
 from ..mapping.map_state import MapState
 from ..solver import pose_solver
+from ..utils.fetch import fetch
 from ..vocab.bow import KeyFrameDatabase, Vocabulary
 from .frame import Frame
 
@@ -77,7 +78,7 @@ class Relocalizer:
         )
         q_wc, t_wc = ms._inverse(q_cw, t_cw)
         pw = pc @ ms._quat_to_mat(q_wc).T + t_wc
-        nearest = np.asarray(
+        nearest = fetch(
             render_mod.query_point_3d(
                 self.gmap, jnp.array(pw, jnp.float32), jnp.ones(len(pw), bool)
             )
@@ -111,14 +112,13 @@ class Relocalizer:
                 jnp.array(w.kf_feat_valid[kf] & (w.kf_obs_point[kf] >= 0)),
                 max_dist=matching.TH_LOW,
             )
-            match = np.asarray(match)
+            match = fetch(match)
             frame.mappoint[:] = -1
-            n = 0
-            for i in np.where(match >= 0)[0]:
-                p = w.kf_obs_point[kf, match[i]]
-                if p >= 0 and w.pt_valid[p]:
-                    frame.mappoint[i] = p
-                    n += 1
+            mi = np.where(match >= 0)[0]
+            p = w.kf_obs_point[kf, match[mi]]
+            okm = (p >= 0) & w.pt_valid[np.maximum(p, 0)]
+            frame.mappoint[mi[okm]] = p[okm]
+            n = int(okm.sum())
             if n < 15:
                 self.last_stats.append((int(kf), n, -1))
                 continue
@@ -139,15 +139,18 @@ class Relocalizer:
                 jnp.array(self.sigma2_inv[frame.octave], jnp.float32),
                 jnp.array(has_pt & frame.valid),
             )
-            q_new = np.asarray(res.q, np.float64)
-            t_new = np.asarray(res.t, np.float64)
+            q_new, t_new, n_inl, is_out = fetch(
+                (res.q, res.t, res.num_inliers, res.is_outlier)
+            )
+            q_new = q_new.astype(np.float64)
+            t_new = t_new.astype(np.float64)
             pose_ok = bool(np.isfinite(q_new).all() and np.isfinite(t_new).all())
-            self.last_stats.append((int(kf), n, int(res.num_inliers)))
-            if pose_ok and int(res.num_inliers) >= self.min_inliers:
+            self.last_stats.append((int(kf), n, int(n_inl)))
+            if pose_ok and int(n_inl) >= self.min_inliers:
                 if not self._gmm_consistent(frame, q_new, t_new):
                     continue
                 frame.set_pose(q_new, t_new)
-                frame.is_outlier = np.array(res.is_outlier)
+                frame.is_outlier = is_out.copy()
                 for i in np.where(frame.mappoint >= 0)[0]:
                     if frame.is_outlier[i]:
                         frame.mappoint[i] = -1
