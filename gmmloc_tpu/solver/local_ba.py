@@ -34,6 +34,16 @@ Variant selection (measured on TPU v5e, production tier L=16/P=8192/MO=12
 with 0.5 px observation noise, tools/ba_variants.py): flat/lu 75.5 ms,
 flat/cg 78.0 ms, onehot/lu 107.9 ms per staged solve — hence the "flat"
 Schur default. LU keeps the exact step; the 96x96 solve is ~0.6 ms.
+NOTE: those variant timings predate the carried-products LM loop (which
+halved the (P,MO) passes per iteration); the ranking is expected to hold
+but the absolute numbers are stale — re-run tools/ba_variants.py for
+current values.
+
+Memory note: carrying r/Jc/Jp ((P,MO,3,6)+(P,MO,3,3)+(P,MO,3) in bf16)
+in the while_loop keeps two copies live (accepted + proposed) during the
+accept select — a few MB extra peak HBM at current tiers, traded for
+skipping a full recompute pass on reject. Revisit with input/output
+aliasing if P/MO tiers grow ~10x.
 """
 
 from __future__ import annotations

@@ -31,6 +31,7 @@ from gmmloc_tpu.config import euroc_v1_config
 from gmmloc_tpu.eval import ate, synthetic
 from gmmloc_tpu.gmm import mixture
 from gmmloc_tpu.pipeline.system import GMMLocSystem
+from gmmloc_tpu.utils import fetch as fetch_mod
 
 ALL_SEQS = [
     "V1_01_easy", "V1_02_medium", "V1_03_difficult",
@@ -57,6 +58,7 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
     n_avail = len(ts) - start
     N = min(n_frames, n_avail)
     sys_ = GMMLocSystem(cfg, gmap, vocabulary=vocabulary)
+    fetch_mod.reset_stats()
     t0 = time.time()
     done = 0
     tracked = 0
@@ -79,7 +81,20 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
         fps=done / wall if wall > 0 else 0.0,
         kfs=sys_.world.n_keyframes(), pts=sys_.world.n_points(),
         completed=done == N,
+        fetches_per_frame=round(fetch_mod.stats()["fetches"] / max(1, done), 2),
     )
+    # BA window occupancy (drives solver shape tiering, VERDICT r1 #4)
+    bs = sys_.localizer.ba_stats
+    if bs:
+        m["ba_stats"] = {
+            "n_solves": len(bs),
+            "pts_p50": float(np.median([s["n_pts"] for s in bs])),
+            "pts_p95": float(np.percentile([s["n_pts"] for s in bs], 95)),
+            "local_p95": float(np.percentile([s["n_local"] for s in bs], 95)),
+            "obs_mean": float(np.mean([s["obs_mean"] for s in bs])),
+            "obs_p95": float(np.mean([s["obs_p95"] for s in bs])),
+            "tiers": sorted(set((s["L"], s["P"]) for s in bs)),
+        }
     return m
 
 
@@ -106,6 +121,12 @@ def main():
                     help="override loc.ba_schur_impl (onehot|flat)")
     ap.add_argument("--mo", type=int, default=None,
                     help="override caps.ba_obs_per_point")
+    ap.add_argument("--refexact", action="store_true",
+                    help="reference-exact tracking contract (ablation, "
+                         "VERDICT r1 weak #4): classic path, no GMM pose "
+                         "anchors, raw constant-velocity model "
+                         "(damping=1.0, ema=1.0), plausibility gate off, "
+                         "terminate on loss")
     ap.add_argument("--online", action="store_true",
                     help="online mode: mapping+BA on a worker thread "
                          "(reference's two-thread 20 Hz configuration) "
@@ -132,6 +153,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     cfg = euroc_v1_config()
+    if args.refexact:
+        args.reloc = 0
+        args.damping = 1.0
+        args.ema = 1.0 if args.ema is None else args.ema
+        args.anchor = 0 if args.anchor is None else args.anchor
+        args.fused = 0 if args.fused is None else args.fused
+        args.jump = 1e9 if args.jump is None else args.jump
     tk = dict(velocity_damping=args.damping)
     if args.fused is not None:
         tk["use_fused_track"] = bool(args.fused)
