@@ -27,6 +27,14 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gmmloc_tpu.utils.tpuenv import ensure_fast_tpu_env, fast_tpu_child_env
+
+if __name__ == "__main__":
+    # terminal-side compile: first execution of each new executable is
+    # ~0.5s instead of 2-5 min through the dev tunnel (utils/tpuenv.py)
+    ensure_fast_tpu_env()
+
 import numpy as np
 
 
@@ -131,6 +139,7 @@ def e2e_fps(n_frames: int = 175, warm: int = 25, timeout_s: float = 780.0):
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", _E2E_CHILD, path, str(n_frames)],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=fast_tpu_child_env(),
     )
     last_n = -1
     last_progress = time.time()

@@ -583,6 +583,7 @@ class Tracker:
         to request the classic fallback (e.g. too few inliers)."""
         w = self.world
         cam = self.cam
+        t_prep = Timer("track/fused_prep").start()
         self._update_last_frame()
         if not self.last_frame.is_keyframe:
             self._create_temporal_points()
@@ -666,7 +667,8 @@ class Tracker:
             )
 
         th_local = 5.0 if frame.idx < 2 else self.cfg.tracking.local_search_radius
-        t_fused = Timer("track/fused_dispatch").start()
+        t_prep.stop()
+        t_disp = Timer("track/fused_enqueue").start()
         res = fused.fused_track_step(
             cam,
             jnp.array(frame.q_cw, jnp.float32), jnp.array(frame.t_cw, jnp.float32),
@@ -687,13 +689,15 @@ class Tracker:
             **anc_kw,
         )
 
+        t_disp.stop()
         # ONE overlapped readback of the whole result (9 sequential
         # transfers measured ~25 ms each through a remote PJRT link)
+        t_fetch = Timer("track/fused_fetch").start()
         rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = fetch(
             tuple(res)
         )
         num_inliers = int(r_ninl)
-        t_fused.stop()
+        t_fetch.stop()
         if num_inliers < self.cfg.tracking.min_matches_track:
             frame.mappoint[:] = -1
             return None  # classic path (incl. trackKeyFrame fallback)

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gmmloc_tpu.utils.tpuenv import ensure_fast_tpu_env
+
+ensure_fast_tpu_env()
+
 import numpy as np
 
 

@@ -13,6 +13,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmmloc_tpu.utils.tpuenv import ensure_fast_tpu_env
+
+ensure_fast_tpu_env()
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np

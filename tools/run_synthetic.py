@@ -10,6 +10,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from gmmloc_tpu.utils.tpuenv import ensure_fast_tpu_env
+
+ensure_fast_tpu_env()
+
 import jax
 
 if "cpu" in str(jax.devices()).lower() or True:

@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gmmloc_tpu.utils.tpuenv import ensure_fast_tpu_env
+
+ensure_fast_tpu_env()
+
 ALL_SEQS = [
     "V1_01_easy", "V1_02_medium", "V1_03_difficult",
     "V2_01_easy", "V2_02_medium", "V2_03_difficult",
