@@ -118,7 +118,11 @@ fe, ts, q_wc, t_wc = synthetic.make_sequence(
     gmm_path=synthetic.V1_GMM, n_landmarks=30000, seed=0,
     disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1)
 sys_ = GMMLocSystem(cfg, gmap)
-# warmup: first frames pay jit compiles; mark timing start afterwards
+# pre-compile every shape tier a long run can hit (BA window tiers,
+# fusion buckets) so no jit compile lands inside the measured window
+from gmmloc_tpu.pipeline import prewarm as prewarm_mod
+prewarm_mod.prewarm(cfg, sys_.cam)
+# warmup: first frames pay the remaining first-touch compiles
 WARM = 25
 for i in range(N_FRAMES):
     fi = START + i
@@ -126,7 +130,8 @@ for i in range(N_FRAMES):
     st = sys_.step(f, q_wc[fi], t_wc[fi])
     if sys_.track_failed:
         break
-    out.write("%d %.6f %d\\n" % (i, time.perf_counter(), int(st.res)))
+    out.write("%d %.6f %d\\n" % (i, time.perf_counter(),
+                                 int(st.res) if st is not None else 1))
 out.write("done\\n")
 """
 

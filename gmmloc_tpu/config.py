@@ -164,6 +164,13 @@ class TrackingConfig:
     # the local-map snapshot is one frame stale (bounded staleness).
     use_fused_track: bool = False
     fused_local_map_cap: int = 4096
+    # Pipelined fused tracking: the per-frame device round trip is
+    # overlapped with the caller's next-frame work (system.step returns
+    # the PREVIOUS frame's stat; see GMMLocSystem.step/drain/flush).
+    # Pure reordering of the blocking point — completion order, and hence
+    # every computed value, is identical to the synchronous fused path
+    # (tests/test_pipelined.py asserts trajectory equality).
+    pipelined_track: bool = False
     # Constant-velocity model damping. 1.0 reproduces the reference
     # (gmmloc.cpp:288 delta * Tcw); <1.0 geometrically decays the
     # extrapolated velocity, bounding the pose random-walk gain during

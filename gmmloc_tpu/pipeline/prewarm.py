@@ -1,0 +1,135 @@
+"""Pre-compile every shape-tier executable the pipeline can hit mid-run.
+
+The solvers use tiered static shapes (small windows compile to small
+programs: localization.py joint_optimization tiers, fuse/triangulation
+pow2 buckets). Tiers that first occur deep into a sequence would
+otherwise pay their jit compile inside the measured window — on the dev
+tunnel that is seconds per executable even with terminal-side compile.
+`prewarm(cfg, cam)` touches each (tier, static-arg) combination with
+zero-filled inputs so the in-process jit cache is hot before frame 0.
+
+No reference counterpart (the reference is an interpreter-free C++
+binary); this is TPU/XLA-specific infrastructure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..features import matching
+from ..geometry import camera as cam_mod
+from ..solver import local_ba
+
+
+def _dummy_ba_problem(L: int, F_CAP: int, P: int, MO: int):
+    import jax.numpy as jnp
+
+    C = L + F_CAP
+    cam_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (C, 1))
+    cam_t = np.zeros((C, 3), np.float32)
+    cam_t[:, 0] = np.arange(C) * 0.05
+    cam_valid = np.zeros(C, bool)
+    cam_valid[: min(4, C)] = True
+    pts = np.zeros((P, 3), np.float32)
+    pts[:, 2] = 5.0
+    pt_valid = np.zeros(P, bool)
+    pt_valid[: min(64, P)] = True
+    obs_cam = np.zeros((P, MO), np.int32)
+    obs_uvr = np.zeros((P, MO, 3), np.float32)
+    obs_uvr[..., :2] = 300.0
+    obs_valid = np.zeros((P, MO), bool)
+    obs_valid[: min(64, P), :2] = True
+    return local_ba.BAProblem(
+        cam_q=jnp.array(cam_q), cam_t=jnp.array(cam_t),
+        cam_valid=jnp.array(cam_valid),
+        pts=jnp.array(pts), pt_valid=jnp.array(pt_valid),
+        obs_cam=jnp.array(obs_cam), obs_uvr=jnp.array(obs_uvr),
+        obs_stereo=jnp.array(obs_valid), obs_sigma2_inv=jnp.ones((P, MO), jnp.float32),
+        obs_valid=jnp.array(obs_valid),
+        str_type=jnp.zeros(P, jnp.int32),
+        str_normal=jnp.tile(jnp.array([0.0, 0, 1], jnp.float32), (P, 1)),
+        str_mean=jnp.array(pts),
+        str_sqrt_info=jnp.tile(jnp.eye(3, dtype=jnp.float32), (P, 1, 1)),
+        prior_q=jnp.array(cam_q[0]), prior_t=jnp.array(cam_t[0]),
+        has_prior=jnp.array(True),
+    )
+
+
+def ba_tiers(cfg: SystemConfig):
+    caps = cfg.caps
+    return [
+        (8, 16, 2048),
+        (16, 32, 4096),
+        (caps.local_ba_kfs, caps.fixed_ba_kfs, caps.local_ba_points),
+    ]
+
+
+def prewarm_ba(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
+    """Compile the staged Schur LM solve at every window tier, with the
+    exact static args joint_optimization passes (same jit cache keys)."""
+    from ..utils.fetch import fetch
+
+    n = 0
+    sig_rot = np.deg2rad(cfg.loc.prior_sigma_rot_deg)
+    for (L, F_CAP, P) in ba_tiers(cfg):
+        prob = _dummy_ba_problem(L, F_CAP, P, cfg.caps.ba_obs_per_point)
+        res = local_ba.solve_local_ba(
+            cam, prob, n_free=L,
+            ba_lambda2=cfg.loc.ba_lambda2,
+            tri_str_thresh=cfg.loc.tri_str_thresh,
+            prior_rot_info=1.0 / sig_rot**2,
+            prior_trans_info=1.0 / cfg.loc.prior_sigma_trans**2,
+            iters1=cfg.loc.ba_iters_stage1,
+            iters2=cfg.loc.ba_iters_stage2,
+            iters3=cfg.loc.ba_iters_stage3,
+            term_gain=cfg.loc.ba_term_gain,
+            schur_impl=cfg.loc.ba_schur_impl,
+            linear_solver=cfg.loc.ba_linear_solver,
+            cg_iters=cfg.loc.ba_cg_iters,
+        )
+        fetch((res.n_iters,))
+        n += 1
+        if log:
+            log(f"prewarm ba tier L={L} P={P}")
+    return n
+
+
+def prewarm_fuse(cfg: SystemConfig, tp_tiers=(1, 2, 4, 8, 16),
+                 buckets=(256, 512), log=None) -> int:
+    """Compile fuse_match_batch over its (pow2 job count, pow2 query
+    bucket) tier grid (localization._fuse_jobs shapes)."""
+    import jax.numpy as jnp
+
+    from ..utils.fetch import fetch
+
+    F = cfg.frame.feat_cap
+    n = 0
+    for TP in tp_tiers:
+        for B in buckets:
+            m = matching.fuse_match_batch(
+                jnp.zeros((TP, B, 2), jnp.float32),
+                jnp.full((TP, B), -1.0, jnp.float32),
+                jnp.zeros((TP, B, 32), jnp.uint8),
+                jnp.zeros((TP, B), jnp.int32),
+                jnp.ones((TP, B), jnp.float32),
+                jnp.zeros((TP, B), bool),
+                jnp.zeros((TP, F, 2), jnp.float32),
+                jnp.full((TP, F), -1.0, jnp.float32),
+                jnp.zeros((TP, F, 32), jnp.uint8),
+                jnp.zeros((TP, F), jnp.int32),
+                jnp.zeros((TP, F), bool),
+                jnp.ones(cfg.frame.num_levels, jnp.float32),
+            )
+            fetch((m,))
+            n += 1
+    if log:
+        log(f"prewarm fuse: {n} tier programs")
+    return n
+
+
+def prewarm(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
+    """Warm the tier grid a long run can hit after its opening frames."""
+    n = prewarm_ba(cfg, cam, log=log)
+    n += prewarm_fuse(cfg, log=log)
+    return n

@@ -65,6 +65,7 @@ class GMMLocSystem:
             self.online = OnlineLocalization(self.localizer)
             self.online.start()
         self.initialized = False
+        self._pending = None  # in-flight FusedPending (pipelined mode)
         self.curr_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
         self.curr_keyframe: int = -1
@@ -218,7 +219,52 @@ class GMMLocSystem:
         return True
 
     def step(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> TrackStat:
-        """One iteration of the main loop (gmmloc.cpp:128-195)."""
+        """One iteration of the main loop (gmmloc.cpp:128-195).
+
+        Pipelined mode (TrackingConfig.pipelined_track): the fused track
+        dispatch for THIS frame goes out and its readback + bookkeeping
+        are deferred to the next step() call, overlapping the device
+        round trip with the caller's next-frame work. The returned stat
+        then belongs to the PREVIOUS frame (None until one completes);
+        call flush() after the last frame. Completion order (drain ->
+        keyframe processing -> next dispatch) is identical to sync mode,
+        so the algorithm is unchanged — only the blocking point moves.
+        """
+        tk = self.cfg.tracking
+        if not (tk.pipelined_track and tk.use_fused_track):
+            return self._step_sync(frame, gt_q_wc, gt_t_wc)
+        stat_prev = self.drain()
+        if self.track_failed:
+            return stat_prev
+        if self.lost or not self.initialized:
+            # lost-recovery and bootstrap run synchronously
+            return self._step_sync(frame, gt_q_wc, gt_t_wc)
+        self.init_pose_guess(frame, gt_q_wc, gt_t_wc)
+        pend = self.tracker.fused_dispatch(frame)
+        if pend is None:
+            # rare: too few carried landmarks — classic synchronous path
+            return self._track_and_map(frame)
+        self._pending = pend
+        return stat_prev
+
+    def drain(self) -> Optional[TrackStat]:
+        """Complete the in-flight frame, run its mapping-side work, and
+        record its trajectory entry. No-op without a pending dispatch."""
+        if self._pending is None:
+            return None
+        pend, self._pending = self._pending, None
+        stat = self.tracker.fused_complete(pend)
+        if stat is None:
+            # fused step under-matched: rerun this frame on the classic
+            # path (incl. trackKeyFrame fallback), synchronously
+            return self._track_and_map(pend.frame)
+        return self._track_and_map(pend.frame, pre_stat=stat)
+
+    def flush(self) -> Optional[TrackStat]:
+        """Drain the last in-flight frame (end of sequence)."""
+        return self.drain()
+
+    def _step_sync(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> TrackStat:
         if self.lost:
             # LOST state (capability extension, SURVEY §5.3): the reference
             # terminates on tracking failure (gmmloc.cpp:157-159); we keep
@@ -244,34 +290,46 @@ class GMMLocSystem:
             self.tracker.initialize(frame)
             self.initialized = True
             stat = TrackStat(res=True, num_match_inliers=0, ratio_map=1.0)
-        else:
+            if frame.ref_kf < 0:
+                frame.ref_kf = self.tracker.ref_keyframe
+            self.world.update_frame_info(frame)
+            return stat
+        return self._track_and_map(frame)
+
+    def _track_and_map(self, frame: Frame, pre_stat: Optional[TrackStat] = None):
+        """Post-track half of the loop body: failure/relocalization
+        handling, keyframe policy + mapping, trajectory record. pre_stat
+        carries an already-completed fused result (pipelined drain)."""
+        if pre_stat is None:
             with Timer("track"):
                 stat = self.tracker.track(frame)
-            if not stat.res and self.relocalizer is not None:
-                # capability extension: attempt relocalization instead of
-                # terminating (the reference breaks the loop here,
-                # gmmloc.cpp:157-159)
-                if self._recover(frame):
-                    stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
-                else:
-                    self.lost = True
-                    self.n_lost += 1
-                    return stat
-            if not stat.res:
-                self.track_failed = True
+        else:
+            stat = pre_stat
+        if not stat.res and self.relocalizer is not None:
+            # capability extension: attempt relocalization instead of
+            # terminating (the reference breaks the loop here,
+            # gmmloc.cpp:157-159)
+            if self._recover(frame):
+                stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
+            else:
+                self.lost = True
+                self.n_lost += 1
                 return stat
-            if self.need_new_keyframe(stat) and not self.tracker.dbg.get("coasted"):
-                with Timer("kf/process"):
-                    kf = self.process_keyframe(frame)
-                self.curr_keyframe = kf
-                if self.online is not None:
-                    self.online.insert_keyframe(kf)
-                else:
-                    self.localizer.insert_keyframe(kf)
-                    self.localizer.spin_once()
-                if self.loop_closer is not None and self.world.kf_valid[kf]:
-                    self.loop_closer.close(kf)
-            self.n_tracked += 1
+        if not stat.res:
+            self.track_failed = True
+            return stat
+        if self.need_new_keyframe(stat) and not self.tracker.dbg.get("coasted"):
+            with Timer("kf/process"):
+                kf = self.process_keyframe(frame)
+            self.curr_keyframe = kf
+            if self.online is not None:
+                self.online.insert_keyframe(kf)
+            else:
+                self.localizer.insert_keyframe(kf)
+                self.localizer.spin_once()
+            if self.loop_closer is not None and self.world.kf_valid[kf]:
+                self.loop_closer.close(kf)
+        self.n_tracked += 1
 
         if frame.ref_kf < 0:
             frame.ref_kf = self.tracker.ref_keyframe
@@ -295,12 +353,15 @@ class GMMLocSystem:
             stat = self.step(frame, g_q, g_t)
             if self.track_failed:
                 break
-            if stat.res and on_frame is not None:
+            if stat is not None and stat.res and on_frame is not None:
                 on_frame(i, frame, stat)
+        self.flush()
         return self.world
 
     def stop(self) -> None:
-        """Drain the mapping thread (online mode; ref gmmloc.cpp:366)."""
+        """Drain in-flight work (pipelined tracking + the online mapping
+        thread; ref gmmloc.cpp:366)."""
+        self.flush()
         if self.online is not None:
             self.online.stop()
 

@@ -28,7 +28,7 @@ from ..features import matching
 from ..geometry import camera as cam_mod
 from ..mapping.map_state import MapState, _inverse, _quat_to_mat
 from ..solver import pose_solver
-from ..utils.fetch import fetch
+from ..utils.fetch import AsyncFetch, fetch
 from ..utils.timing import Timer
 from . import fused
 from .frame import Frame
@@ -41,6 +41,21 @@ class TrackStat:
     res: bool = False
     num_match_inliers: int = 0
     ratio_map: float = 0.0
+
+
+@dataclass
+class FusedPending:
+    """In-flight fused track step: the dispatch went out, the overlapped
+    readback has been started, host bookkeeping is deferred until
+    `Tracker.fused_complete` (pipelined mode: the wait overlaps the
+    caller's next-frame work instead of blocking ~1 RTT per frame)."""
+
+    frame: Frame
+    fetch: AsyncFetch
+    lp: np.ndarray      # local-map point ids aligned with kernel slots
+    n_lp: int
+    q_pred: np.ndarray  # constant-velocity prediction (plausibility gate)
+    t_pred: np.ndarray
 
 
 class Tracker:
@@ -581,6 +596,15 @@ class Tracker:
     def _track_fused(self, frame: Frame):
         """One-device-call variant of track(). Returns TrackStat, or None
         to request the classic fallback (e.g. too few inliers)."""
+        pend = self.fused_dispatch(frame)
+        if pend is None:
+            return None
+        return self.fused_complete(pend)
+
+    def fused_dispatch(self, frame: Frame):
+        """Prep + single device dispatch; starts the overlapped readback
+        and defers all host bookkeeping to fused_complete. Returns a
+        FusedPending, or None to request the classic path."""
         w = self.world
         cam = self.cam
         t_prep = Timer("track/fused_prep").start()
@@ -690,11 +714,25 @@ class Tracker:
         )
 
         t_disp.stop()
-        # ONE overlapped readback of the whole result (9 sequential
-        # transfers measured ~25 ms each through a remote PJRT link)
+        # start the overlapped readback now; the blocking wait happens in
+        # fused_complete (pipelined mode overlaps it with the caller's
+        # next-frame work; sync mode completes immediately)
+        return FusedPending(
+            frame=frame, fetch=AsyncFetch(tuple(res)), lp=lp, n_lp=n_lp,
+            q_pred=frame.q_cw.copy(), t_pred=frame.t_cw.copy(),
+        )
+
+    def fused_complete(self, pend: "FusedPending"):
+        """Materialize the readback and run all host bookkeeping for the
+        dispatched frame. Returns TrackStat, or None to request the
+        classic fallback (too few inliers)."""
+        w = self.world
+        frame = pend.frame
+        last = self.last_frame
+        lp, n_lp = pend.lp, pend.n_lp
         t_fetch = Timer("track/fused_fetch").start()
-        rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = fetch(
-            tuple(res)
+        rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = (
+            pend.fetch.get()
         )
         num_inliers = int(r_ninl)
         t_fetch.stop()
@@ -704,7 +742,7 @@ class Tracker:
 
         # prediction pose (EMA constant-velocity, set by the system before
         # track()) — recorded for the plausibility gate below
-        q_pred, t_pred = frame.q_cw.copy(), frame.t_cw.copy()
+        q_pred, t_pred = pend.q_pred, pend.t_pred
         frame.set_pose(rq.astype(np.float64), rt.astype(np.float64))
         frame.is_outlier = r_out.copy()
         frame.mappoint[:] = -1

@@ -73,7 +73,7 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
         if sys_.track_failed:
             break
         done += 1
-        tracked += int(st.res)
+        tracked += int(st.res) if st is not None else 0
     wall = time.time() - t0
     sys_.stop()  # drain the online mapping thread before export (no-op offline)
     ts_est, q_est, t_est = sys_.export_trajectory()
@@ -115,6 +115,9 @@ def main():
                          "0: reference parity (terminate on loss)")
     ap.add_argument("--fused", type=int, default=None,
                     help="override tracking.use_fused_track")
+    ap.add_argument("--pipelined", type=int, default=None,
+                    help="override tracking.pipelined_track (deferred "
+                         "readback; bit-identical to sync fused mode)")
     ap.add_argument("--anchor", type=int, default=None,
                     help="override tracking.use_gmm_pose_anchor")
     ap.add_argument("--ema", type=float, default=None,
@@ -167,6 +170,8 @@ def main():
     tk = dict(velocity_damping=args.damping)
     if args.fused is not None:
         tk["use_fused_track"] = bool(args.fused)
+    if args.pipelined is not None:
+        tk["pipelined_track"] = bool(args.pipelined)
     if args.anchor is not None:
         tk["use_gmm_pose_anchor"] = bool(args.anchor)
     if args.ema is not None:
