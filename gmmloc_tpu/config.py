@@ -164,6 +164,12 @@ class TrackingConfig:
     # the local-map snapshot is one frame stale (bounded staleness).
     use_fused_track: bool = False
     fused_local_map_cap: int = 4096
+    # Packed-IO fused tracking: per-frame transfers collapse to three
+    # small f32 arrays in (descriptors bitcast into f32 lanes; GMM anchor
+    # geometry + pyramid scales resident on device) and ONE packed vector
+    # out. Bit-exact vs the unpacked path (same _track_core; see
+    # tests/test_fused_track.py::test_packed_matches_unpacked).
+    fused_packed_io: bool = True
     # Pipelined fused tracking: the per-frame device round trip is
     # overlapped with the caller's next-frame work (system.step returns
     # the PREVIOUS frame's stat; see GMMLocSystem.step/drain/flush).

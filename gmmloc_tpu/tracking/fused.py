@@ -41,14 +41,7 @@ class FusedTrackResult(NamedTuple):
     num_anchors: jax.Array    # () int32 — surviving GMM anchors (0 if off)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cam", "num_levels", "use_anchors", "anchor_lambda2",
-        "anchor_chi2_gate", "anchor_min_edges",
-    ),
-)
-def fused_track_step(
+def _track_core(
     cam: cam_mod.CameraParams,
     q0, t0,                       # const-velocity init T_cw
     # last-frame landmark queries (slot-aligned with its features)
@@ -235,3 +228,176 @@ def fused_track_step(
         map_in_view=ok,
         num_anchors=n_anc,
     )
+
+
+fused_track_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "num_levels", "use_anchors", "anchor_lambda2",
+        "anchor_chi2_gate", "anchor_min_edges",
+    ),
+)(_track_core)
+
+
+# ---------------------------------------------------------------------------
+# packed-IO variant: minimal per-frame transfer through the host link
+# ---------------------------------------------------------------------------
+#
+# The dev-tunnel transfer profile is ~3 ms fixed cost PER ARRAY plus
+# ~38 ms/MB (measured 23.11); the unpacked step moves ~25 arrays and
+# >1 MB per frame, which dominated the 20 Hz loop. The packed variant
+# moves THREE small f32 arrays per frame (current-frame features with
+# descriptor bytes bitcast into f32 lanes, last-frame slot dynamics,
+# pose/scalars) plus a per-refresh local-map table and two static
+# tables (GMM anchor geometry, pyramid scales) uploaded once, and
+# returns ONE packed f32 vector. Bitcast transport is bit-exact; every
+# computation is _track_core, identical to the unpacked path
+# (tests/test_fused_track.py::test_packed_matches_unpacked).
+
+CUR_W = 16      # uv(2) ur(1) angle(1) s2i(1) valid(1) octave(1) pad(1) desc(8)
+DYN_W = 8       # last_pts(3) q_valid(1) comp(1) pid(1) pad(2)
+MAP_W = 24      # pts(3) normal(3) min(1) max(1) valid(1) comp(1) pid(1) pad(1) desc(8) pad(8->0)
+GMM_W = 16      # mean(3) normal(3) sqrt_info(9) deg(1)
+
+
+def _desc_bits(packed_f32):
+    """(N,8) f32 lanes -> (N,32) uint8 descriptor (pure bit transport)."""
+    u8 = jax.lax.bitcast_convert_type(packed_f32, jnp.uint8)  # (N,8,4)
+    return u8.reshape(packed_f32.shape[0], 32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "num_levels", "use_anchors", "map_is_stale",
+        "anchor_lambda2", "anchor_chi2_gate", "anchor_min_edges",
+    ),
+)
+def fused_track_step_packed(
+    cam: cam_mod.CameraParams,
+    scal,            # (16,) f32: q0(4) t0(3) motion_radius(1) local_radius(1)
+    cur,             # (F,CUR_W) f32 current frame (see CUR_W layout)
+    last_cur,        # (F,CUR_W) f32 previous frame's `cur` (device-resident)
+    last_dyn,        # (F,DYN_W) f32 last-frame slot dynamics
+    map_tab,         # (P,MAP_W) f32 local-map snapshot
+    gmm_tab,         # (K,GMM_W) f32 static GMM component geometry
+    scale_factors,   # (L,) f32 static pyramid scales
+    log_scale_factor: float,
+    num_levels: int,
+    use_anchors: bool = False,
+    map_is_stale: bool = False,
+    anchor_lambda2: float = 400.0,
+    anchor_chi2_gate: float = 2.56,
+    anchor_min_edges: int = 10,
+):
+    F = cur.shape[0]
+    P = map_tab.shape[0]
+    q0, t0 = scal[:4], scal[4:7]
+    motion_radius, local_radius = scal[7], scal[8]
+
+    feat_uv = cur[:, 0:2]
+    feat_ur = cur[:, 2]
+    feat_angle = cur[:, 3]
+    feat_s2i = cur[:, 4]
+    feat_valid = cur[:, 5] > 0.5
+    feat_octave = cur[:, 6].astype(jnp.int32)
+    feat_desc = _desc_bits(cur[:, 8:16])
+
+    last_ur = last_cur[:, 2]
+    last_angle = last_cur[:, 3]
+    last_octave = last_cur[:, 6].astype(jnp.int32)
+    last_desc = _desc_bits(last_cur[:, 8:16])
+
+    last_pts = last_dyn[:, 0:3]
+    last_valid = last_dyn[:, 3] > 0.5
+    last_comp = last_dyn[:, 4].astype(jnp.int32)
+    last_pid = last_dyn[:, 5].astype(jnp.int32)
+
+    map_pts = map_tab[:, 0:3]
+    map_normal = map_tab[:, 3:6]
+    map_min = map_tab[:, 6]
+    map_max = map_tab[:, 7]
+    map_valid = map_tab[:, 8] > 0.5
+    map_comp = map_tab[:, 9].astype(jnp.int32)
+    map_pid = map_tab[:, 10].astype(jnp.int32)
+    map_desc = _desc_bits(map_tab[:, 16:24])
+
+    if map_is_stale:
+        # the snapshot predates the last frame's matches: drop map slots
+        # whose point is already carried by a last-frame slot (the host
+        # does this exclusion itself when it refreshes every frame)
+        carried = (map_pid[:, None] == last_pid[None, :]) & last_valid[None, :]
+        map_valid = map_valid & ~jnp.any(carried, axis=1)
+
+    anc_kw = {}
+    if use_anchors:
+        gmm_mean = gmm_tab[:, 0:3]
+        gmm_normal = gmm_tab[:, 3:6]
+        gmm_sqi = gmm_tab[:, 6:15].reshape(-1, 3, 3)
+        gmm_deg = gmm_tab[:, 15] > 0.5
+
+        def slot_tables(comp):
+            k = jnp.clip(comp, 0)
+            a_type = jnp.where(
+                comp >= 0,
+                jnp.where(gmm_deg[k], pose_solver.ANCHOR_DEG,
+                          pose_solver.ANCHOR_NONDEG),
+                pose_solver.ANCHOR_NONE,
+            ).astype(jnp.int32)
+            return a_type, gmm_mean[k], gmm_normal[k], gmm_sqi[k]
+
+        lt, lm, ln, ls = slot_tables(last_comp)
+        mt, mm, mn, msq = slot_tables(map_comp)
+        anc_kw = dict(
+            use_anchors=True,
+            last_anc_type=lt, last_anc_mean=lm, last_anc_normal=ln,
+            last_anc_sqrt_info=ls,
+            map_anc_type=mt, map_anc_mean=mm, map_anc_normal=mn,
+            map_anc_sqrt_info=msq,
+            anchor_lambda2=anchor_lambda2,
+            anchor_chi2_gate=anchor_chi2_gate,
+            anchor_min_edges=anchor_min_edges,
+        )
+
+    r = _track_core(
+        cam, q0, t0,
+        last_pts, last_desc, last_octave, last_angle, last_ur, last_valid,
+        feat_uv, feat_ur, feat_desc, feat_octave, feat_angle, feat_valid,
+        feat_s2i,
+        map_pts, map_desc, map_normal, map_min, map_max, map_valid,
+        scale_factors, log_scale_factor, num_levels,
+        motion_radius=motion_radius, local_radius=local_radius,
+        **anc_kw,
+    )
+    # ONE packed output: [q(4) t(3) n_inl n_motion n_anc | feat_point(F)
+    # | from_local(F) | is_outlier(F) | map_in_view(P)]  (ints < 2^24
+    # are exact in f32)
+    out = jnp.concatenate([
+        r.q, r.t,
+        jnp.stack([
+            r.num_inliers.astype(jnp.float32),
+            r.n_motion_matches.astype(jnp.float32),
+            r.num_anchors.astype(jnp.float32),
+        ]),
+        r.feat_point.astype(jnp.float32),
+        r.feat_from_local.astype(jnp.float32),
+        r.is_outlier.astype(jnp.float32),
+        r.map_in_view.astype(jnp.float32),
+    ])
+    return out
+
+
+def unpack_result(out: "np.ndarray", F: int, P: int):
+    """Host-side unpack of fused_track_step_packed's output vector into
+    the FusedTrackResult field order (numpy)."""
+    import numpy as np
+
+    q = out[0:4].astype(np.float64)
+    t = out[4:7].astype(np.float64)
+    n_inl, n_motion, n_anc = (int(out[7]), int(out[8]), int(out[9]))
+    o = 10
+    feat_point = out[o:o + F].astype(np.int32); o += F
+    from_local = out[o:o + F] > 0.5; o += F
+    is_outlier = out[o:o + F] > 0.5; o += F
+    in_view = out[o:o + P] > 0.5
+    return q, t, feat_point, from_local, is_outlier, n_inl, n_motion, in_view, n_anc

@@ -56,6 +56,7 @@ class FusedPending:
     n_lp: int
     q_pred: np.ndarray  # constant-velocity prediction (plausibility gate)
     t_pred: np.ndarray
+    packed: bool = False  # result is fused_track_step_packed's one vector
 
 
 class Tracker:
@@ -82,6 +83,12 @@ class Tracker:
         # the track paths, consumed by tools/diagnose_seq.py
         self.dbg: dict = {}
         self._coast_streak = 0
+        # device-resident upload cache for the packed fused path: static
+        # tables (GMM geometry, pyramid scales) uploaded once; the current
+        # frame's packed feature table is kept on-device and reused as the
+        # next frame's last-frame input (utils/tpuenv transfer profile:
+        # ~3 ms/array + ~38 ms/MB through the dev tunnel)
+        self._dev: dict = {}
         pyr = world.pyr
         self.scale_factors = pyr["scale_factors"]
         self.sigma2_inv = pyr["sigma2_inv"]
@@ -630,6 +637,10 @@ class Tracker:
             lp = np.array([p for p in lp if p not in carried], np.int64)
         lp = lp[:P]
         n_lp = len(lp)
+        if self.cfg.tracking.fused_packed_io:
+            return self._dispatch_packed(
+                frame, last, q_has, last_pts, lp, n_lp, t_prep
+            )
         map_pts = np.zeros((P, 3), np.float32)
         map_desc = np.zeros((P, 32), np.uint8)
         map_normal = np.zeros((P, 3), np.float32)
@@ -722,6 +733,109 @@ class Tracker:
             q_pred=frame.q_cw.copy(), t_pred=frame.t_cw.copy(),
         )
 
+    # ---------------- packed-IO fused path (transfer-minimal) ----------
+
+    def _pack_frame(self, frame: Frame) -> np.ndarray:
+        pk = np.zeros((frame.feat_cap, fused.CUR_W), np.float32)
+        pk[:, 0:2] = frame.uv
+        pk[:, 2] = frame.ur
+        pk[:, 3] = frame.angle
+        pk[:, 4] = self.sigma2_inv[frame.octave]
+        pk[:, 5] = frame.valid
+        pk[:, 6] = frame.octave
+        pk[:, 8:16] = np.ascontiguousarray(frame.desc).view(np.float32)
+        return pk
+
+    def _dev_cur(self, frame: Frame):
+        """Device copy of the frame's packed feature table (uploaded at
+        its own dispatch; rebuilt here only after classic-path frames)."""
+        d = getattr(frame, "_dev_cur", None)
+        if d is None:
+            d = jnp.array(self._pack_frame(frame))
+            frame._dev_cur = d
+        return d
+
+    def _dev_static(self):
+        if "scales" not in self._dev:
+            self._dev["scales"] = jnp.array(self.scale_factors, jnp.float32)
+            gv = self.gmm_views
+            if gv is not None:
+                K = len(gv["means"])
+                tab = np.zeros((K, fused.GMM_W), np.float32)
+                tab[:, 0:3] = gv["means"]
+                tab[:, 3:6] = gv["normal"]
+                tab[:, 6:15] = gv["sqrt_info"].reshape(K, 9)
+                tab[:, 15] = gv["is_degenerated"]
+            else:
+                tab = np.zeros((1, fused.GMM_W), np.float32)
+            self._dev["gmm_tab"] = jnp.array(tab)
+        return self._dev["gmm_tab"], self._dev["scales"]
+
+    def _vetted_comp(self, pid: np.ndarray) -> np.ndarray:
+        """BA-vetted GMM component per point id (-1 where none/unvetted);
+        mirrors _gather_anchors/anc_tables gating."""
+        w = self.world
+        pc = np.clip(pid, 0, None)
+        ok = (pid >= 0) & w.pt_assoc_vetted[pc]
+        return np.where(ok, w.pt_assoc_comp[pc], -1).astype(np.float32)
+
+    def _dispatch_packed(self, frame, last, q_has, last_pts, lp, n_lp, t_prep):
+        w = self.world
+        F = frame.feat_cap
+        P = self.cfg.tracking.fused_local_map_cap
+        tk = self.cfg.tracking
+
+        scal = np.zeros(16, np.float32)
+        scal[0:4] = frame.q_cw
+        scal[4:7] = frame.t_cw
+        scal[7] = tk.motion_search_radius
+        scal[8] = 5.0 if frame.idx < 2 else tk.local_search_radius
+
+        dyn = np.zeros((F, fused.DYN_W), np.float32)
+        dyn[:, 0:3] = last_pts
+        dyn[:, 3] = q_has
+        dyn[:, 4] = self._vetted_comp(last.mappoint)
+        dyn[:, 5] = last.mappoint
+
+        map_tab = np.zeros((P, fused.MAP_W), np.float32)
+        map_tab[:, 9] = -1.0
+        if n_lp:
+            map_tab[:n_lp, 0:3] = w.pt_pos[lp]
+            map_tab[:n_lp, 3:6] = w.pt_normal[lp]
+            map_tab[:n_lp, 6] = w.pt_min_dist[lp]
+            map_tab[:n_lp, 7] = w.pt_max_dist[lp]
+            map_tab[:n_lp, 8] = 1.0
+            map_tab[:n_lp, 9] = self._vetted_comp(lp)
+            map_tab[:n_lp, 10] = lp
+            map_tab[:n_lp, 16:24] = np.ascontiguousarray(
+                w.pt_desc[lp]
+            ).view(np.float32)
+
+        gmm_tab, scales = self._dev_static()
+        use_anc = tk.use_gmm_pose_anchor and self.gmm_views is not None
+        last_dev = self._dev_cur(last)
+        cur_dev = jnp.array(self._pack_frame(frame))
+        frame._dev_cur = cur_dev
+        t_prep.stop()
+        t_disp = Timer("track/fused_enqueue").start()
+        out = fused.fused_track_step_packed(
+            self.cam,
+            jnp.array(scal), cur_dev, last_dev, jnp.array(dyn),
+            jnp.array(map_tab), gmm_tab, scales,
+            float(self.log_sf), self.num_levels,
+            use_anchors=use_anc, map_is_stale=False,
+            anchor_lambda2=float(tk.anchor_lambda2),
+            anchor_chi2_gate=float(tk.anchor_chi2_gate),
+            anchor_min_edges=int(tk.anchor_min_edges),
+        )
+        t_disp.stop()
+        return FusedPending(
+            frame=frame, fetch=AsyncFetch((out,)), lp=lp, n_lp=n_lp,
+            q_pred=frame.q_cw.copy(), t_pred=frame.t_cw.copy(), packed=True,
+        )
+
+    # -------------------------------------------------------------------
+
     def fused_complete(self, pend: "FusedPending"):
         """Materialize the readback and run all host bookkeeping for the
         dispatched frame. Returns TrackStat, or None to request the
@@ -731,9 +845,17 @@ class Tracker:
         last = self.last_frame
         lp, n_lp = pend.lp, pend.n_lp
         t_fetch = Timer("track/fused_fetch").start()
-        rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = (
-            pend.fetch.get()
-        )
+        if pend.packed:
+            (out,) = pend.fetch.get()
+            rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = (
+                fused.unpack_result(
+                    out, frame.feat_cap, self.cfg.tracking.fused_local_map_cap
+                )
+            )
+        else:
+            rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = (
+                pend.fetch.get()
+            )
         num_inliers = int(r_ninl)
         t_fetch.stop()
         if num_inliers < self.cfg.tracking.min_matches_track:

@@ -121,3 +121,53 @@ def test_fused_track_system_equivalence():
     assert results[False] < 0.03, f"classic ATE {results[False]*100:.2f}cm"
     # parity within 1 cm on this slice
     assert abs(results[True] - results[False]) < 0.01, results
+
+
+def test_packed_matches_unpacked():
+    """Bit-exact equivalence of the packed-IO fused path: identical
+    trajectory, map state, and per-frame matches vs the unpacked path
+    (same _track_core inside; packing is pure bit transport)."""
+    import dataclasses
+    import os
+    import pytest
+    from gmmloc_tpu.eval import synthetic
+    from gmmloc_tpu.gmm import mixture
+    from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+    if not os.path.exists(synthetic.V1_GMM):
+        pytest.skip("reference assets absent")
+
+    base = euroc_v1_config()
+    base = base.replace(
+        tracking=dataclasses.replace(
+            base.tracking, velocity_damping=0.9, use_fused_track=True
+        )
+    )
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=base.caps.gmm_components_pad,
+        neighbor_dist_thresh=base.gmm.neighbor_dist_thresh,
+        neighbor_cap=base.gmm.neighbor_cap,
+    )
+
+    def run(packed):
+        cfg = base.replace(
+            tracking=dataclasses.replace(base.tracking, fused_packed_io=packed)
+        )
+        fe, ts, q_wc, t_wc = synthetic.make_sequence(
+            cfg, n_frames=220, stride=1, n_landmarks=20000,
+            disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+        )
+        s = GMMLocSystem(cfg, gmap)
+        for i in range(50):
+            fi = 150 + i
+            f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+            st = s.step(f, q_wc[fi], t_wc[fi])
+            assert st.res
+        ts_e, q_e, t_e = s.export_trajectory()
+        return q_e, t_e, s.world.n_keyframes(), s.world.n_points()
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-6)
+    assert a[2] == b[2] and a[3] == b[3]

@@ -43,6 +43,19 @@ ALL_SEQS = [
 ]
 
 
+_VOCAB_CACHE = {}
+
+
+def _sequence_vocab(seq, fe):
+    key = "V2" if seq.startswith("V2") else "V1"  # one vocab per map
+    if key not in _VOCAB_CACHE:
+        from gmmloc_tpu.vocab.bow import Vocabulary
+
+        sub = fe.world.desc[:: max(1, len(fe.world.desc) // 20000)]
+        _VOCAB_CACHE[key] = Vocabulary.train(sub, k=10, depth=4, seed=0)
+    return _VOCAB_CACHE[key]
+
+
 def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
              out_path=None, vocabulary=None):
     gt_path = f"{synthetic.GT_DIR}/{seq}.txt"
@@ -54,11 +67,10 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
     )
     if vocabulary == "train":
         # on-domain vocabulary from the world's landmark signatures
-        # (ORBvoc.bin is absent from the reference repo — SURVEY §7 item 7)
-        from gmmloc_tpu.vocab.bow import Vocabulary
-
-        sub = fe.world.desc[:: max(1, len(fe.world.desc) // 20000)]
-        vocabulary = Vocabulary.train(sub, k=10, depth=4, seed=0)
+        # (ORBvoc.bin is absent from the reference repo — SURVEY §7 item 7).
+        # Trained once per (sequence, map) and cached: the reference uses
+        # ONE fixed vocabulary for every run (evaluate_euroc.sh voc/ORBvoc.bin)
+        vocabulary = _sequence_vocab(seq, fe)
     n_avail = len(ts) - start
     N = min(n_frames, n_avail)
     sys_ = GMMLocSystem(cfg, gmap, vocabulary=vocabulary)
