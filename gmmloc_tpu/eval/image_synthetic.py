@@ -49,25 +49,45 @@ class SpriteRenderer:
         vis &= r_px > 0.6
 
         img = np.full((cam.height, cam.width), self.bg, np.float32)
-        # painter's algorithm far-to-near so near sprites overwrite
-        order = np.argsort(-z)
-        for i in order:
-            if not vis[i]:
-                continue
-            rr = max(2, int(3 * r_px[i]))
-            x0 = int(u[i]) - rr
-            x1 = int(u[i]) + rr + 1
-            y0 = int(v[i]) - rr
-            y1 = int(v[i]) + rr + 1
-            xa, xb = max(0, x0), min(cam.width, x1)
-            ya, yb = max(0, y0), min(cam.height, y1)
-            if xa >= xb or ya >= yb:
-                continue
-            ys = np.arange(ya, yb)[:, None] - v[i]
-            xs = np.arange(xa, xb)[None, :] - u[i]
-            s = max(r_px[i], 0.8)
-            blob = self.contrast[i] * np.exp(-(ys**2 + xs**2) / (2 * s * s))
-            img[ya:yb, xa:xb] += blob.astype(np.float32)
+        # additive gaussian splatting, fully vectorized: one bincount
+        # scatter-add over fixed-size patches (the original per-sprite
+        # python loop was ~100x slower and capped the image-level
+        # benchmark at ~25-frame smokes; additive blending makes paint
+        # order irrelevant). Patch radius caps at RR px — for the sprite
+        # sizes in use the truncated tail is <3% of peak amplitude.
+        RR = 24
+        idx = np.where(vis)[0]
+        if len(idx) == 0:
+            return img
+        ui, vi, zi = u[idx], v[idx], z[idx]
+        s = np.maximum(r_px[idx], 0.8).astype(np.float32)
+        rr = np.clip((3 * r_px[idx]).astype(np.int32), 2, RR)
+        off = np.arange(-RR, RR + 1)
+        # (N, 2RR+1) per-axis offsets around the rounded center
+        cx = np.round(ui).astype(np.int32)
+        cy = np.round(vi).astype(np.int32)
+        gx = cx[:, None] + off[None, :]
+        gy = cy[:, None] + off[None, :]
+        dx = gx - ui[:, None]
+        dy = gy - vi[:, None]
+        # separable gaussian: blob = contrast * gx_term ⊗ gy_term
+        inv2s2 = 1.0 / (2.0 * s * s)
+        ex = np.exp(-(dx * dx) * inv2s2[:, None]).astype(np.float32)
+        ey = np.exp(-(dy * dy) * inv2s2[:, None]).astype(np.float32)
+        in_rr = np.abs(off)[None, :] <= rr[:, None]
+        ex = np.where(in_rr & (gx >= 0) & (gx < cam.width), ex, 0.0)
+        ey = np.where(in_rr & (gy >= 0) & (gy < cam.height), ey, 0.0)
+        blob = (
+            self.contrast[idx][:, None, None] * ey[:, :, None] * ex[:, None, :]
+        ).astype(np.float32)
+        gxc = np.clip(gx, 0, cam.width - 1)
+        gyc = np.clip(gy, 0, cam.height - 1)
+        flat = (
+            gyc[:, :, None] * cam.width + gxc[:, None, :]
+        ).astype(np.int64).ravel()
+        img += np.bincount(
+            flat, weights=blob.ravel(), minlength=cam.height * cam.width
+        ).reshape(cam.height, cam.width).astype(np.float32)
         return np.clip(img, 0.0, 255.0)
 
     def render_stereo(self, q_wc, t_wc):
