@@ -38,3 +38,52 @@ def test_checkpoint_roundtrip(tmp_path):
     t1 = w.export_trajectory()
     t2 = w2.export_trajectory()
     np.testing.assert_allclose(t1[2], t2[2])
+
+
+def test_html_viewer_export(tmp_path):
+    """The offline viewer renders a populated world + GMM layer into one
+    self-contained HTML file (viewer parity, visualizer.cpp:150-221)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gmmloc_tpu.config import euroc_v1_config
+    from gmmloc_tpu.eval import synthetic
+    from gmmloc_tpu.gmm import mixture
+    from gmmloc_tpu.pipeline import html_viewer
+    from gmmloc_tpu.pipeline.system import GMMLocSystem
+    from gmmloc_tpu.utils import proto
+
+    cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=0.9)
+    )
+    fe, ts, q_wc, t_wc = synthetic.make_sequence(
+        cfg, n_frames=180, stride=1, n_landmarks=20000,
+        disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+    )
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=cfg.caps.gmm_components_pad,
+        neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+        neighbor_cap=cfg.gmm.neighbor_cap,
+    )
+    s = GMMLocSystem(cfg, gmap)
+    for i in range(25):
+        fi = 150 + i
+        f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+        s.step(f, q_wc[fi], t_wc[fi])
+    means, covs, _, _ = proto.load_gmm_file(synthetic.V1_GMM)
+    out = str(tmp_path / "map.html")
+    html_viewer.export_html(s.world, out, gmm={"means": means, "covs": covs})
+    text = open(out).read()
+    assert "frusta" in text and "<canvas" in text
+    # data payload is present and non-trivial
+    import json
+    import re
+
+    m = re.search(r"const D = (\{.*?\});\n", text, re.S)
+    data = json.loads(m.group(1))
+    assert len(data["frusta"]) >= 8       # >= one keyframe (8 segments)
+    assert len(data["points"]) > 100
+    assert len(data["ellipsoids"]) > 100
+    assert len(data["traj"]) >= 20
