@@ -170,6 +170,16 @@ class TrackingConfig:
     # out. Bit-exact vs the unpacked path (same _track_core; see
     # tests/test_fused_track.py::test_packed_matches_unpacked).
     fused_packed_io: bool = True
+    # Local-map snapshot refresh cadence for the packed fused path.
+    # "frame": rebuild + upload the (P,MAP_W) table every frame (matches
+    #   the classic per-frame local-map update; ~400KB/frame through the
+    #   host link). "kf": refresh only when the map itself changed (new
+    #   keyframe / BA / culling — tracked via a (n_kfs, n_pts) token);
+    #   between refreshes the kernel drops map slots already carried by
+    #   the last frame (map_is_stale exclusion), so per-frame staleness
+    #   matches the one-frame-stale doctrine. ATE-parity gated
+    #   (test_fused_track.test_kf_refresh_ate_parity).
+    fused_map_refresh: str = "frame"
     # Pipelined fused tracking: the per-frame device round trip is
     # overlapped with the caller's next-frame work (system.step returns
     # the PREVIOUS frame's stat; see GMMLocSystem.step/drain/flush).

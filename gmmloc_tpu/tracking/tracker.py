@@ -628,16 +628,21 @@ class Tracker:
         last_pts[sel] = w.pt_pos[last.mappoint[sel]]
 
         # local-map snapshot (one frame stale); exclude points carried by
-        # the last frame so stage 2 cannot duplicate stage-1 matches
-        P = self.cfg.tracking.fused_local_map_cap
+        # the last frame so stage 2 cannot duplicate stage-1 matches.
+        # In kf-refresh mode the exclusion moves into the kernel
+        # (map_is_stale) because the carried set changes per frame while
+        # the uploaded table does not.
+        tk = self.cfg.tracking
+        kf_mode = tk.fused_packed_io and tk.fused_map_refresh == "kf"
+        P = tk.fused_local_map_cap
         lp = self.local_points
         lp = lp[w.pt_valid[lp]] if len(lp) else lp
-        if len(lp):
+        if len(lp) and not kf_mode:
             carried = set(last.mappoint[sel].tolist())
             lp = np.array([p for p in lp if p not in carried], np.int64)
         lp = lp[:P]
         n_lp = len(lp)
-        if self.cfg.tracking.fused_packed_io:
+        if tk.fused_packed_io:
             return self._dispatch_packed(
                 frame, last, q_has, last_pts, lp, n_lp, t_prep
             )
@@ -797,19 +802,31 @@ class Tracker:
         dyn[:, 4] = self._vetted_comp(last.mappoint)
         dyn[:, 5] = last.mappoint
 
-        map_tab = np.zeros((P, fused.MAP_W), np.float32)
-        map_tab[:, 9] = -1.0
-        if n_lp:
-            map_tab[:n_lp, 0:3] = w.pt_pos[lp]
-            map_tab[:n_lp, 3:6] = w.pt_normal[lp]
-            map_tab[:n_lp, 6] = w.pt_min_dist[lp]
-            map_tab[:n_lp, 7] = w.pt_max_dist[lp]
-            map_tab[:n_lp, 8] = 1.0
-            map_tab[:n_lp, 9] = self._vetted_comp(lp)
-            map_tab[:n_lp, 10] = lp
-            map_tab[:n_lp, 16:24] = np.ascontiguousarray(
-                w.pt_desc[lp]
-            ).view(np.float32)
+        kf_mode = tk.fused_map_refresh == "kf"
+        token = (w.n_keyframes(), w.n_points()) if kf_mode else None
+        if kf_mode and self._dev.get("map_token") == token:
+            map_dev = self._dev["map_dev"]
+            lp = self._dev["map_lp"]
+            n_lp = len(lp)
+        else:
+            map_tab = np.zeros((P, fused.MAP_W), np.float32)
+            map_tab[:, 9] = -1.0
+            if n_lp:
+                map_tab[:n_lp, 0:3] = w.pt_pos[lp]
+                map_tab[:n_lp, 3:6] = w.pt_normal[lp]
+                map_tab[:n_lp, 6] = w.pt_min_dist[lp]
+                map_tab[:n_lp, 7] = w.pt_max_dist[lp]
+                map_tab[:n_lp, 8] = 1.0
+                map_tab[:n_lp, 9] = self._vetted_comp(lp)
+                map_tab[:n_lp, 10] = lp
+                map_tab[:n_lp, 16:24] = np.ascontiguousarray(
+                    w.pt_desc[lp]
+                ).view(np.float32)
+            map_dev = jnp.array(map_tab)
+            if kf_mode:
+                self._dev["map_token"] = token
+                self._dev["map_dev"] = map_dev
+                self._dev["map_lp"] = lp
 
         gmm_tab, scales = self._dev_static()
         use_anc = tk.use_gmm_pose_anchor and self.gmm_views is not None
@@ -821,9 +838,9 @@ class Tracker:
         out = fused.fused_track_step_packed(
             self.cam,
             jnp.array(scal), cur_dev, last_dev, jnp.array(dyn),
-            jnp.array(map_tab), gmm_tab, scales,
+            map_dev, gmm_tab, scales,
             float(self.log_sf), self.num_levels,
-            use_anchors=use_anc, map_is_stale=False,
+            use_anchors=use_anc, map_is_stale=kf_mode,
             anchor_lambda2=float(tk.anchor_lambda2),
             anchor_chi2_gate=float(tk.anchor_chi2_gate),
             anchor_min_edges=int(tk.anchor_min_edges),

@@ -171,3 +171,52 @@ def test_packed_matches_unpacked():
     np.testing.assert_allclose(a[0], b[0], atol=1e-6)
     np.testing.assert_allclose(a[1], b[1], atol=1e-6)
     assert a[2] == b[2] and a[3] == b[3]
+
+
+def test_kf_refresh_ate_parity():
+    """fused_map_refresh='kf' (local-map table uploaded only when the map
+    changes; in-kernel carried-point exclusion) tracks with ATE parity vs
+    per-frame refresh on a synthetic slice."""
+    import dataclasses
+    import os
+    import pytest
+    from gmmloc_tpu.eval import ate, synthetic
+    from gmmloc_tpu.gmm import mixture
+    from gmmloc_tpu.pipeline.system import GMMLocSystem
+
+    if not os.path.exists(synthetic.V1_GMM):
+        pytest.skip("reference assets absent")
+
+    base = euroc_v1_config()
+    base = base.replace(
+        tracking=dataclasses.replace(
+            base.tracking, velocity_damping=0.9, use_fused_track=True
+        )
+    )
+    gmap = mixture.load(
+        synthetic.V1_GMM, pad_to=base.caps.gmm_components_pad,
+        neighbor_dist_thresh=base.gmm.neighbor_dist_thresh,
+        neighbor_cap=base.gmm.neighbor_cap,
+    )
+    START, N = 150, 50
+    out = {}
+    for mode in ("frame", "kf"):
+        cfg = base.replace(
+            tracking=dataclasses.replace(base.tracking, fused_map_refresh=mode)
+        )
+        fe, ts, q_wc, t_wc = synthetic.make_sequence(
+            cfg, n_frames=220, stride=1, n_landmarks=20000,
+            disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1,
+        )
+        s = GMMLocSystem(cfg, gmap)
+        for i in range(N):
+            fi = START + i
+            f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+            st = s.step(f, q_wc[fi], t_wc[fi])
+            assert st.res, f"tracking failed at {i} (mode={mode})"
+        ts_e, _, t_e = s.export_trajectory()
+        out[mode] = ate.ate_rmse(
+            ts_e, t_e, ts[START:START + N], t_wc[START:START + N]
+        )["rmse"]
+    assert out["kf"] < 0.03, out
+    assert abs(out["kf"] - out["frame"]) < 0.01, out
