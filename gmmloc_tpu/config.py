@@ -162,7 +162,11 @@ class TrackingConfig:
     # Use the fused single-dispatch track-step megakernel (tracking/fused.py)
     # instead of the multi-call host-orchestrated path. Same algorithm;
     # the local-map snapshot is one frame stale (bounded staleness).
-    use_fused_track: bool = False
+    # Default ON since round 2: full-length from-frame-0 protocol runs
+    # (expr_r3: V1_01 0.15-0.19cm, V1_02 0.57cm, 100% completion) match
+    # or beat the round-1 classic-path numbers, and the packed/pipelined
+    # perf path is bit-identical to this configuration (VERDICT r1 #2).
+    use_fused_track: bool = True
     fused_local_map_cap: int = 4096
     # Packed-IO fused tracking: per-frame transfers collapse to three
     # small f32 arrays in (descriptors bitcast into f32 lanes; GMM anchor
@@ -186,7 +190,7 @@ class TrackingConfig:
     # Pure reordering of the blocking point — completion order, and hence
     # every computed value, is identical to the synchronous fused path
     # (tests/test_pipelined.py asserts trajectory equality).
-    pipelined_track: bool = False
+    pipelined_track: bool = True
     # Constant-velocity model damping. 1.0 reproduces the reference
     # (gmmloc.cpp:288 delta * Tcw); <1.0 geometrically decays the
     # extrapolated velocity, bounding the pose random-walk gain during

@@ -67,15 +67,18 @@ def test_end_to_end_tracking_accuracy():
         neighbor_cap=cfg.gmm.neighbor_cap,
     )
     s = GMMLocSystem(cfg, gmap)
-    errs = []
+    frames = []
     for i in range(N):
         fi = START + i
         f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
         st = s.step(f, q_wc[fi], t_wc[fi])
-        assert st.res, f"tracking failed at {i}"
-        qi, ti = _inverse(f.q_cw, f.t_cw)
-        errs.append(np.linalg.norm(ti - t_wc[fi]))
-    errs = np.array(errs)
+        assert st is None or st.res, f"tracking failed at {i}"
+        frames.append((f, fi))
+    s.flush()  # pipelined mode: final poses land at drain
+    errs = np.array([
+        np.linalg.norm(_inverse(f.q_cw, f.t_cw)[1] - t_wc[fi])
+        for f, fi in frames
+    ])
     assert errs.max() < 0.05, f"max frame error {errs.max()*100:.1f}cm"
     # trajectory export exists and scores
     ts_est, q_est, t_est = s.export_trajectory()
@@ -124,8 +127,8 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    out = fn(*args)
-    assert int(out.num_inliers) > 0
+    out = np.asarray(fn(*args))
+    assert int(out[7]) > 0  # packed layout: [q(4) t(3) n_inl ...]
     g.dryrun_multichip(8)
 
 
@@ -183,7 +186,7 @@ def test_end_to_end_determinism():
             fi = 150 + i
             f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
             st = s.step(f, q_wc[fi], t_wc[fi])
-            assert st.res
+            assert st is None or st.res
         ts_e, q_e, t_e = s.export_trajectory()
         return ts_e, q_e, t_e, s.world.n_keyframes(), s.world.n_points()
 
