@@ -72,9 +72,10 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--seqs", default="all")
     ap.add_argument("--extra", default="--fused 1 --pipelined 1")
-    ap.add_argument("--stall", type=float, default=900.0,
+    ap.add_argument("--stall", type=float, default=1500.0,
                     help="kill the child if its log stops growing this long"
-                         " (first compiles print nothing for ~5-10 min)")
+                         " (first-run compiles through the tunnel print "
+                         "nothing for 8-15 min on a bad day)")
     ap.add_argument("--seq_budget", type=float, default=4800.0,
                     help="hard wall-clock cap per sequence")
     args = ap.parse_args()
