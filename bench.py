@@ -136,7 +136,7 @@ out.write("done\\n")
 """
 
 
-def e2e_fps(n_frames: int = 175, warm: int = 25, timeout_s: float = 780.0):
+def e2e_fps(n_frames: int = 175, warm: int = 25, timeout_s: float = 1400.0):
     """Tracked frames/sec through GMMLocSystem.step (child process with
     per-frame progress; partial results survive a tunnel wedge)."""
     path = tempfile.mktemp(suffix=".e2elog")
@@ -338,7 +338,7 @@ def main():
     )
 
 
-def _watchdog(seconds: float = 1500.0):
+def _watchdog(seconds: float = 2800.0):
     """The development TPU tunnel intermittently wedges transfers; never
     let the bench hang the round — emit a sentinel line and exit."""
     import os
