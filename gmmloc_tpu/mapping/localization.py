@@ -68,17 +68,22 @@ class Localization:
         self.is_idle = False
         with Timer("loc"):
             with Timer("loc/miscs"):
-                self.process_new_keyframe()
-                self.remove_map_points()
-                self.create_map_points()
+                with Timer("loc/proc_kf"):
+                    self.process_new_keyframe()
+                with Timer("loc/cull_pts"):
+                    self.remove_map_points()
+                with Timer("loc/triangulate"):
+                    self.create_map_points()
                 if not self.queue:
-                    self.search_in_neighbors()
+                    with Timer("loc/fuse"):
+                        self.search_in_neighbors()
             self.abort_ba = False
             if not self.queue:
                 if self.world.n_keyframes() > 2:
                     with Timer("loc/ba"):
                         self.joint_optimization()
-                self.remove_keyframes()
+                with Timer("loc/cull_kfs"):
+                    self.remove_keyframes()
         self.is_idle = True
 
     # ------------------------------------------------------------------
@@ -856,6 +861,7 @@ class Localization:
                 continue
             w.kf_q[k], w.kf_t[k] = n, new_t[i]
         w.pt_pos[pts_np] = new_pts[:n_act].astype(np.float64)
+        w.map_version += 1  # BA moved poses/points in place (cache tokens)
 
         # association downgrade (:837-855)
         drop = drop_all[:n_act]

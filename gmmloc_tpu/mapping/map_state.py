@@ -117,6 +117,13 @@ class MapState:
         self.frame_infos: List[FrameInfo] = []
         self.max_kf_frame_idx = 0
         self.pyr = derived_pyramid(cfg)
+        # Monotonic persistent-map mutation counter: bumped on KF alloc/
+        # removal, persistent-point alloc/removal, replacement, and BA
+        # write-back — NOT on temporal-point churn (ref_kf < 0). Cache
+        # tokens (e.g. the tracker's kf-cadence local-map snapshot) key on
+        # this instead of raw counts, which can collide when BA moves
+        # pt_pos without changing counts (ADVICE r2 medium).
+        self.map_version = 0
 
     # ------------------------------------------------------------------ kfs
 
@@ -154,6 +161,7 @@ class MapState:
         self.covis_link[:, kf] = False
         self._kf_order.append(kf)
         self.max_kf_frame_idx = max(self.max_kf_frame_idx, frame.idx)
+        self.map_version += 1
         return kf
 
     # ----------------------------------------------------------- points
@@ -178,6 +186,8 @@ class MapState:
         self.pt_replaced_by[p] = -1
         self.pt_last_visible_idx[p] = -1
         self.pt_fuse_tgt_kf[p] = -1
+        if ref_kf >= 0:  # persistent points only; temporal churn excluded
+            self.map_version += 1
         return p
 
     def resolve_replaced(self, p: int) -> int:
@@ -261,6 +271,8 @@ class MapState:
         if not self.pt_valid[p]:
             return
         kfs, feats = self.point_observations(p)
+        if self.pt_ref_kf[p] >= 0 or len(kfs):
+            self.map_version += 1
         for kf, ft in zip(kfs, feats):
             if self.kf_obs_point[kf, ft] == p:
                 self.kf_obs_point[kf, ft] = -1
@@ -274,6 +286,7 @@ class MapState:
         """Ref: Map::replaceMapPoint (map.cpp:112-150)."""
         if src == tgt or not self.pt_valid[src]:
             return
+        self.map_version += 1
         kfs, feats = self.point_observations(src)
         self.pt_obs_kf[src] = -1
         self.pt_obs_feat[src] = -1
@@ -474,6 +487,7 @@ class MapState:
         self.kf_obs_point[kf] = -1
         self._kf_order.remove(kf)
         self._free_kf.append(kf)
+        self.map_version += 1
 
     # ------------------------------------------------------- trajectory
 

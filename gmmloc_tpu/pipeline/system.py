@@ -66,6 +66,7 @@ class GMMLocSystem:
             self.online.start()
         self.initialized = False
         self._pending = None  # in-flight FusedPending (pipelined mode)
+        self._last_done = None  # frame the most recent stat belongs to
         self.curr_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
         self.curr_keyframe: int = -1
@@ -256,8 +257,11 @@ class GMMLocSystem:
         stat = self.tracker.fused_complete(pend)
         if stat is None:
             # fused step under-matched: rerun this frame on the classic
-            # path (incl. trackKeyFrame fallback), synchronously
-            return self._track_and_map(pend.frame)
+            # path (incl. trackKeyFrame fallback), synchronously — going
+            # straight to classic, NOT a second fused dispatch (which
+            # would pay another blocking round trip likely to fail the
+            # same way and re-run the temporal-point prep)
+            return self._track_and_map(pend.frame, classic_only=True)
         return self._track_and_map(pend.frame, pre_stat=stat)
 
     def flush(self) -> Optional[TrackStat]:
@@ -273,6 +277,7 @@ class GMMLocSystem:
             if self._recover(frame):
                 stat = TrackStat(res=True, num_match_inliers=30, ratio_map=0.3)
                 self.world.update_frame_info(frame)
+                self._last_done = frame
                 return stat
             return TrackStat(res=False)
 
@@ -293,16 +298,26 @@ class GMMLocSystem:
             if frame.ref_kf < 0:
                 frame.ref_kf = self.tracker.ref_keyframe
             self.world.update_frame_info(frame)
+            self._last_done = frame
             return stat
         return self._track_and_map(frame)
 
-    def _track_and_map(self, frame: Frame, pre_stat: Optional[TrackStat] = None):
+    def _track_and_map(
+        self,
+        frame: Frame,
+        pre_stat: Optional[TrackStat] = None,
+        classic_only: bool = False,
+    ):
         """Post-track half of the loop body: failure/relocalization
         handling, keyframe policy + mapping, trajectory record. pre_stat
-        carries an already-completed fused result (pipelined drain)."""
+        carries an already-completed fused result (pipelined drain);
+        classic_only skips the fused re-dispatch after an under-match."""
         if pre_stat is None:
             with Timer("track"):
-                stat = self.tracker.track(frame)
+                if classic_only:
+                    stat = self.tracker.track_classic_fallback(frame)
+                else:
+                    stat = self.tracker.track(frame)
         else:
             stat = pre_stat
         if not stat.res and self.relocalizer is not None:
@@ -334,6 +349,7 @@ class GMMLocSystem:
         if frame.ref_kf < 0:
             frame.ref_kf = self.tracker.ref_keyframe
         self.world.update_frame_info(frame)
+        self._last_done = frame  # the frame this stat belongs to (run())
         return stat
 
     # ------------------------------------------------------------------
@@ -346,7 +362,12 @@ class GMMLocSystem:
         on_frame: Optional[Callable] = None,
     ):
         """Offline batch run. `frames` yields Frame objects; optional GT
-        arrays provide the frame-0 pose anchor."""
+        arrays provide the frame-0 pose anchor. In pipelined mode each
+        stat belongs to the PREVIOUS frame; on_frame receives the frame
+        the stat was computed for, and the final in-flight frame's stat
+        (from flush) goes through the same accounting (ADVICE r2 low)."""
+        self._last_done = None
+        i = -1
         for i, frame in enumerate(frames):
             g_q = gt_q_wc[i] if gt_q_wc is not None else None
             g_t = gt_t_wc[i] if gt_t_wc is not None else None
@@ -354,8 +375,10 @@ class GMMLocSystem:
             if self.track_failed:
                 break
             if stat is not None and stat.res and on_frame is not None:
-                on_frame(i, frame, stat)
-        self.flush()
+                on_frame(i, self._last_done or frame, stat)
+        stat = self.flush()
+        if stat is not None and stat.res and on_frame is not None:
+            on_frame(i, self._last_done, stat)
         return self.world
 
     def stop(self) -> None:

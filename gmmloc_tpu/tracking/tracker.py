@@ -28,7 +28,7 @@ from ..features import matching
 from ..geometry import camera as cam_mod
 from ..mapping.map_state import MapState, _inverse, _quat_to_mat
 from ..solver import pose_solver
-from ..utils.fetch import AsyncFetch, fetch
+from ..utils.fetch import AsyncFetch, fetch, record_uploads
 from ..utils.timing import Timer
 from . import fused
 from .frame import Frame
@@ -108,14 +108,24 @@ class Tracker:
             st = self._track_fused(frame)
             if st is not None:
                 return st
-            # fall through to the classic path on fused failure
+            # fall through to the classic path on fused failure; the fused
+            # dispatch already ran the last-frame prep (temporal points)
+            return self._track_classic(frame, prep=False)
         return self._track_classic(frame)
 
-    def _track_classic(self, frame: Frame) -> TrackStat:
+    def track_classic_fallback(self, frame: Frame) -> TrackStat:
+        """Classic path for a frame whose fused dispatch under-matched —
+        prep (updateLastFrame/temporal points) already ran at dispatch
+        time, so skip it instead of allocating duplicate temporal
+        landmarks (ADVICE r2 low, system.py drain fallback)."""
+        return self._track_classic(frame, prep=False)
+
+    def _track_classic(self, frame: Frame, prep: bool = True) -> TrackStat:
         w = self.world
-        self._update_last_frame()
-        if not self.last_frame.is_keyframe:
-            self._create_temporal_points()
+        if prep:
+            self._update_last_frame()
+            if not self.last_frame.is_keyframe:
+                self._create_temporal_points()
 
         self.stat = TrackStat(res=True)
         self.dbg = {"path": "classic"}
@@ -757,6 +767,7 @@ class Tracker:
         d = getattr(frame, "_dev_cur", None)
         if d is None:
             d = jnp.array(self._pack_frame(frame))
+            record_uploads()
             frame._dev_cur = d
         return d
 
@@ -803,7 +814,9 @@ class Tracker:
         dyn[:, 5] = last.mappoint
 
         kf_mode = tk.fused_map_refresh == "kf"
-        token = (w.n_keyframes(), w.n_points()) if kf_mode else None
+        # cache key: persistent-map mutation counter (NOT raw counts, which
+        # collide when BA moves pt_pos in place or alloc/cull balance out)
+        token = w.map_version if kf_mode else None
         if kf_mode and self._dev.get("map_token") == token:
             map_dev = self._dev["map_dev"]
             lp = self._dev["map_lp"]
@@ -823,6 +836,7 @@ class Tracker:
                     w.pt_desc[lp]
                 ).view(np.float32)
             map_dev = jnp.array(map_tab)
+            record_uploads()
             if kf_mode:
                 self._dev["map_token"] = token
                 self._dev["map_dev"] = map_dev
@@ -832,6 +846,7 @@ class Tracker:
         use_anc = tk.use_gmm_pose_anchor and self.gmm_views is not None
         last_dev = self._dev_cur(last)
         cur_dev = jnp.array(self._pack_frame(frame))
+        record_uploads(3)  # scal + dyn (below) + cur: the per-frame budget
         frame._dev_cur = cur_dev
         t_prep.stop()
         t_disp = Timer("track/fused_enqueue").start()
@@ -875,8 +890,10 @@ class Tracker:
             )
         num_inliers = int(r_ninl)
         t_fetch.stop()
+        t_book = Timer("track/fused_book").start()
         if num_inliers < self.cfg.tracking.min_matches_track:
             frame.mappoint[:] = -1
+            t_book.stop()
             return None  # classic path (incl. trackKeyFrame fallback)
 
         # prediction pose (EMA constant-velocity, set by the system before
@@ -927,4 +944,5 @@ class Tracker:
 
         self._cleanup(frame)
         self.last_frame = frame
+        t_book.stop()
         return self.stat

@@ -21,13 +21,21 @@ from typing import Any
 import numpy as np
 
 _lock = threading.Lock()
-_stats = {"fetches": 0, "leaves": 0}
+_stats = {"fetches": 0, "leaves": 0, "uploads": 0}
 
 
 def reset_stats() -> None:
     with _lock:
         _stats["fetches"] = 0
         _stats["leaves"] = 0
+        _stats["uploads"] = 0
+
+
+def record_uploads(n: int = 1) -> None:
+    """Count host->device array uploads (called at jnp.array sites on the
+    per-frame hot path so the transfer budget is assertable in tests)."""
+    with _lock:
+        _stats["uploads"] += n
 
 
 def stats() -> dict:

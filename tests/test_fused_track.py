@@ -112,8 +112,12 @@ def test_fused_track_system_equivalence():
         for i in range(N):
             fi = START + i
             f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
+            # pipelined default: step returns the PREVIOUS frame's stat
+            # (None while the first frame is in flight)
             st = s.step(f, q_wc[fi], t_wc[fi])
-            assert st.res, f"tracking failed at {i} (fused={use_fused})"
+            assert st is None or st.res, f"tracking failed at {i} (fused={use_fused})"
+        st = s.flush()
+        assert st is None or st.res
         ts_est, _, t_est = s.export_trajectory()
         m = ate.ate_rmse(ts_est, t_est, ts[START:START + N], t_wc[START:START + N])
         results[use_fused] = m["rmse"]
@@ -162,7 +166,9 @@ def test_packed_matches_unpacked():
             fi = 150 + i
             f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
             st = s.step(f, q_wc[fi], t_wc[fi])
-            assert st.res
+            assert st is None or st.res
+        st = s.flush()
+        assert st is None or st.res
         ts_e, q_e, t_e = s.export_trajectory()
         return q_e, t_e, s.world.n_keyframes(), s.world.n_points()
 
@@ -213,7 +219,9 @@ def test_kf_refresh_ate_parity():
             fi = START + i
             f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
             st = s.step(f, q_wc[fi], t_wc[fi])
-            assert st.res, f"tracking failed at {i} (mode={mode})"
+            assert st is None or st.res, f"tracking failed at {i} (mode={mode})"
+        st = s.flush()
+        assert st is None or st.res
         ts_e, _, t_e = s.export_trajectory()
         out[mode] = ate.ate_rmse(
             ts_e, t_e, ts[START:START + N], t_wc[START:START + N]

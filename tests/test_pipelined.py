@@ -47,9 +47,13 @@ def _run(cfg, gmap, n=60):
 @pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
 def test_pipelined_equals_sync():
     base = euroc_v1_config()
+    # pipelined_track defaults True — the sync baseline must OPT OUT
+    # explicitly or both runs are pipelined and the test is vacuous
+    # (ADVICE r2 medium)
     base = base.replace(
         tracking=dataclasses.replace(
-            base.tracking, velocity_damping=0.9, use_fused_track=True
+            base.tracking, velocity_damping=0.9, use_fused_track=True,
+            pipelined_track=False,
         )
     )
     gmap = mixture.load(

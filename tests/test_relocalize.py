@@ -46,7 +46,7 @@ def test_lost_state_relocalization_recovers():
 
     START, N = 150, 70
     BLACKOUT = range(40, 46)  # frames with zero true detections
-    errs = []
+    frames = []
     for i in range(N):
         fi = START + i
         if i in BLACKOUT:
@@ -54,16 +54,22 @@ def test_lost_state_relocalization_recovers():
         f = fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi])
         if i in BLACKOUT:
             fe.drop_frac = saved
-        st = s.step(f, q_wc[fi], t_wc[fi])
+        s.step(f, q_wc[fi], t_wc[fi])  # pipelined: stat is prev frame's
         assert not s.track_failed, f"fatal failure at {i}"
-        if st.res and i > max(BLACKOUT):
-            err = np.linalg.norm(
-                -_rot(f.q_cw).T @ f.t_cw - t_wc[fi]
-            )
-            errs.append(err)
+        frames.append((i, fi, f))
+    s.flush()
 
     assert s.n_lost > 0, "blackout never triggered the LOST state"
     assert not s.lost, "system did not relocalize after the blackout"
+    # per-frame post-recovery error from each frame's FINAL pose (solved
+    # at drain time in pipelined mode); untracked frames keep their guess
+    # pose but also have no frame_info — gate on recorded timestamps
+    recorded = {info.timestamp for info in s.world.frame_infos}
+    errs = [
+        np.linalg.norm(-_rot(f.q_cw).T @ f.t_cw - t_wc[fi])
+        for i, fi, f in frames
+        if i > max(BLACKOUT) and ts[fi] in recorded
+    ]
     assert len(errs) >= 10, "too few tracked frames after recovery"
     assert np.max(errs) < 0.10, f"post-recovery error {np.max(errs):.3f} m"
 
