@@ -140,6 +140,13 @@ class LocConfig:
     match_nn_ratio_local: float = 0.8
     match_nn_ratio_tri: float = 0.6
     rot_hist_bins: int = 30
+    # Device-resident world mirror (mapping/device_world.py): keyframe
+    # feature tables + landmark attributes live in HBM and the per-KF
+    # fusion/triangulation kernels gather ON DEVICE; only dirty rows and
+    # small masks cross the host link. Re-uploading the gathered tables
+    # each keyframe measured ~1.3 s/KF through the remote PJRT tunnel
+    # (expr_prof/step_profile_r3_tpu_fine.json loc/fuse_upload).
+    use_device_world: bool = True
 
 
 @dataclass(frozen=True)

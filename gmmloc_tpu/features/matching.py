@@ -330,3 +330,103 @@ search_for_triangulation_batch = jax.jit(
 fuse_match_batch = jax.jit(
     jax.vmap(fuse_match, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
 )
+
+
+@jax.jit
+def search_for_triangulation_gather(
+    kf1,            # scalar int32
+    kf2_idx,        # (T,) int32 neighbor keyframes
+    free1,          # (F,) bool — kf1 features without a landmark
+    free2,          # (T,F) bool
+    fmat,           # (T,3,3)
+    epipole2,       # (T,2)
+    sigma2,         # (L,)
+    kf_uv, kf_ur, kf_desc, kf_oct, kf_angle,      # device KF feature tables
+):
+    """search_for_triangulation_batch with KF feature tables gathered from
+    the device-resident mirror instead of re-uploaded per keyframe
+    (mapping/device_world.py). Only the small free/geometry inputs cross
+    the host link. Returns (T, F) match tables."""
+    return jax.vmap(
+        search_for_triangulation,
+        in_axes=(None, None, None, None, None, None,
+                 0, 0, 0, 0, 0, 0, 0, 0, None),
+    )(
+        kf_uv[kf1], kf_ur[kf1], kf_desc[kf1], kf_oct[kf1], kf_angle[kf1],
+        free1,
+        kf_uv[kf2_idx], kf_ur[kf2_idx], kf_desc[kf2_idx], kf_oct[kf2_idx],
+        kf_angle[kf2_idx], free2, fmat, epipole2, sigma2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def fuse_project_match_gather(
+    cam,
+    kf_idx,         # (T,) int32 target keyframes
+    job_ok,         # (T,) bool — padded tier rows are False
+    q_pid,          # (B,) int32 query landmark ids (shared across targets)
+    q_ok,           # (B,) bool
+    skip,           # (T,B) bool — landmark already observed by that target
+    kf_q, kf_t,     # (MK,4),(MK,3) device poses (T_cw)
+    kf_uv, kf_ur, kf_desc, kf_oct, kf_fvalid,     # device KF feature tables
+    pt_pos, pt_normal, pt_mind, pt_maxd, pt_desc, pt_valid,  # device pt tables
+    sigma2_inv,     # (L,)
+    scale_factors,  # (L,)
+    log_sf,         # f32 scalar
+    th=3.0,
+):
+    """fuseObservations with the world resident in HBM: per-target
+    projection, scale/view-cos gates and level prediction run ON DEVICE
+    from gathered mirror rows (ref: Localization::fuseObservations,
+    localization.cpp:226-325 — the reference reads these tables from
+    shared memory; re-uploading them per keyframe measured at ~1.3 s/KF
+    through the remote PJRT link, see mapping/device_world.py).
+
+    Returns (T, B) feature index into each target KF, or -1.
+    """
+    pos = pt_pos[q_pid]                               # (B,3)
+    nrm = pt_normal[q_pid]
+    dmin = pt_mind[q_pid]
+    dmax = pt_maxd[q_pid]
+    desc = pt_desc[q_pid]
+    ok0 = q_ok & pt_valid[q_pid]
+    n_levels = scale_factors.shape[0]
+
+    def per_target(kfi, jok, skip_t):
+        q = kf_q[kfi]
+        t = kf_t[kfi]
+        w_, x_, y_, z_ = q[0], q[1], q[2], q[3]
+        R = jnp.array(
+            [
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
+            ]
+        )
+        pc = pos @ R.T + t
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        ur = u - cam.bf / zs
+        inside = (z > 0) & (u >= 0) & (v >= 0) & (u < cam.width) & (v < cam.height)
+        t_wc = -R.T @ t
+        vdir = pos - t_wc
+        dist = jnp.linalg.norm(vdir, axis=-1)
+        ok = ok0 & ~skip_t & inside
+        ok &= (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax) & (dist > 1e-9)
+        vc = jnp.sum(vdir * nrm, -1) / jnp.clip(dist, 1e-9)
+        ok &= vc >= 0.5
+        lvl = jnp.ceil(
+            jnp.log(jnp.clip(dmax / jnp.clip(dist, 1e-9), 1e-9)) / log_sf
+        ).astype(jnp.int32)
+        lvl = jnp.clip(lvl, 0, n_levels - 1)
+        radius = th * scale_factors[lvl]
+        m = fuse_match(
+            jnp.stack([u, v], -1), ur, desc, lvl, radius, ok,
+            kf_uv[kfi], kf_ur[kfi], kf_desc[kfi], kf_oct[kfi],
+            kf_fvalid[kfi], sigma2_inv,
+        )
+        return jnp.where(jok, m, -1)
+
+    return jax.vmap(per_target)(kf_idx, job_ok, skip)

@@ -125,22 +125,23 @@ class GMMAssociator:
                 return out
 
             safe = np.maximum(padb(comp_ids_flat, 0), 0)
-            res = point_solver.optimize_point_stereo(
-                self.cam,
-                jnp.array(padb(pts_flat), jnp.float32),
-                jnp.tile(jnp.array(q_cw), (B, 1)),
-                jnp.tile(jnp.array(t_cw), (B, 1)),
-                jnp.array(padb(obs_flat), jnp.float32),
-                jnp.array(padb(s2i_flat, 1.0), jnp.float32),
-                jnp.array(self._normal[safe], jnp.float32),
-                jnp.array(self._means[safe], jnp.float32),
-                jnp.array(padb(sinfo_flat, 1.0), jnp.float32),
-                chi2_proj_thresh=cfg.chi2_stereo,
-                str_chi2_thresh=cfg.tri_str_thresh * cfg.tri_lambda2,
-                iters=cfg.point_opt_iters,
-                tri_check_str_chi2=cfg.tri_check_str_chi2,
-            )
-            x, c, ok = fetch((res.x, res.chi2_proj, res.ok))
+            with Timer("kf/point_opt"):
+                res = point_solver.optimize_point_stereo(
+                    self.cam,
+                    jnp.array(padb(pts_flat), jnp.float32),
+                    jnp.tile(jnp.array(q_cw), (B, 1)),
+                    jnp.tile(jnp.array(t_cw), (B, 1)),
+                    jnp.array(padb(obs_flat), jnp.float32),
+                    jnp.array(padb(s2i_flat, 1.0), jnp.float32),
+                    jnp.array(self._normal[safe], jnp.float32),
+                    jnp.array(self._means[safe], jnp.float32),
+                    jnp.array(padb(sinfo_flat, 1.0), jnp.float32),
+                    chi2_proj_thresh=cfg.chi2_stereo,
+                    str_chi2_thresh=cfg.tri_str_thresh * cfg.tri_lambda2,
+                    iters=cfg.point_opt_iters,
+                    tri_check_str_chi2=cfg.tri_check_str_chi2,
+                )
+                x, c, ok = fetch((res.x, res.chi2_proj, res.ok))
             return x[:n], c[:n], ok[:n] & (comp_ids_flat >= 0)
 
         # pass 1: all (feature x candidate) pairs
@@ -204,13 +205,19 @@ class GMMAssociator:
         # assoc = -1 (the reference returns nullptr there too).
         miss = np.where(~found)[0]
         if len(miss):
-            nearest = fetch(
-                render_mod.query_point_3d(
-                    self.gmap,
-                    jnp.array(pts0[miss], jnp.float32),
-                    jnp.ones(len(miss), bool),
-                )
-            )
+            with Timer("kf/query3d"):
+                # pow2 bucket: a raw len(miss) shape would compile a new
+                # executable per keyframe
+                Bq = bucket_size(len(miss))
+                ptsq = np.zeros((Bq, 3), np.float32)
+                ptsq[: len(miss)] = pts0[miss]
+                okq = np.zeros(Bq, bool)
+                okq[: len(miss)] = True
+                nearest = fetch(
+                    render_mod.query_point_3d(
+                        self.gmap, jnp.array(ptsq), jnp.array(okq)
+                    )
+                )[: len(miss)]
             deg_ok = self._deg[np.maximum(nearest, 0)] & (nearest >= 0)
             di = miss[deg_ok]
             if len(di):

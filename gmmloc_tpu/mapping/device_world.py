@@ -1,0 +1,183 @@
+"""Device-resident world mirror: KF feature tables + landmark attributes.
+
+The reference runs in one CPU address space, so its per-KF stages read
+the world for free (localization.cpp passes pointers). Through a remote
+PJRT link, re-uploading the gathered neighbor-KF feature tables and
+query-point attributes on every keyframe measured at ~1.3 s/KF
+(expr_prof/step_profile_r3_tpu_fine.json: loc/fuse_upload) — far above
+the actual device compute. The TPU-native answer is to keep the world
+mirrored in HBM and gather ON DEVICE:
+
+  - keyframe feature tables (uv/ur/desc/octave/angle/valid) are immutable
+    after creation (map_state.alloc_keyframe) -> row-scatter once per KF;
+  - landmark attributes (pos/normal/dist bounds/descriptor) change in
+    known batches (creation, BA write-back, descriptor refresh) ->
+    row-scatter of the dirty ids per sync;
+  - poses and validity masks are small -> re-uploaded wholesale.
+
+MapState marks dirty rows at its mutation sites; sync() applies them as
+ONE jitted multi-field scatter per table group (eager .at[].set would
+compile a fresh executable per shape and pay per-op dispatch through the
+link). Scatter index arrays are padded to pow2 buckets (pad index =
+first id, writing identical data twice) so each group has a handful of
+executables instead of one per length.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from .map_state import MapState
+
+
+def _pad_pow2(ids: np.ndarray, lo: int = 64) -> np.ndarray:
+    b = lo
+    while b < len(ids):
+        b <<= 1
+    out = np.full(b, ids[0], ids.dtype)
+    out[: len(ids)] = ids
+    return out
+
+
+@jax.jit
+def _scatter_kf(uv, ur, desc, octv, ang, val, ids, r_uv, r_ur, r_desc,
+                r_oct, r_ang, r_val):
+    return (
+        uv.at[ids].set(r_uv), ur.at[ids].set(r_ur),
+        desc.at[ids].set(r_desc), octv.at[ids].set(r_oct),
+        ang.at[ids].set(r_ang), val.at[ids].set(r_val),
+    )
+
+
+@jax.jit
+def _scatter_pt(pos, nrm, dmin, dmax, desc, ids, r_pos, r_nrm, r_dmin,
+                r_dmax, r_desc):
+    return (
+        pos.at[ids].set(r_pos), nrm.at[ids].set(r_nrm),
+        dmin.at[ids].set(r_dmin), dmax.at[ids].set(r_dmax),
+        desc.at[ids].set(r_desc),
+    )
+
+
+class DeviceWorld:
+    """HBM mirror of the MapState tables the mapping kernels gather from."""
+
+    def __init__(self, world: MapState):
+        import jax.numpy as jnp
+
+        self.w = world
+        MK, MP, F = world.MK, world.MP, world.F
+        # zeros allocate on device without a host transfer
+        self.kf_feat_uv = jnp.zeros((MK, F, 2), jnp.float32)
+        self.kf_feat_ur = jnp.full((MK, F), -1.0, jnp.float32)
+        self.kf_feat_desc = jnp.zeros((MK, F, 32), jnp.uint8)
+        self.kf_feat_octave = jnp.zeros((MK, F), jnp.int32)
+        self.kf_feat_angle = jnp.zeros((MK, F), jnp.float32)
+        self.kf_feat_valid = jnp.zeros((MK, F), bool)
+        self.pt_pos = jnp.zeros((MP, 3), jnp.float32)
+        self.pt_normal = jnp.zeros((MP, 3), jnp.float32)
+        self.pt_min_dist = jnp.zeros(MP, jnp.float32)
+        self.pt_max_dist = jnp.zeros(MP, jnp.float32)
+        self.pt_desc = jnp.zeros((MP, 32), jnp.uint8)
+        # small, re-uploaded every sync
+        self.kf_q = jnp.zeros((MK, 4), jnp.float32)
+        self.kf_t = jnp.zeros((MK, 3), jnp.float32)
+        self.pt_valid = jnp.zeros(MP, bool)
+        self.n_syncs = 0
+
+    # ------------------------------------------------------------------
+
+    def prewarm_scatters(self, kf_buckets=(1, 2, 4, 8), pt_buckets=(256, 512, 1024,
+                                                             2048, 4096)) -> None:
+        """Compile the scatter executables for the common dirty-set
+        buckets so none lands inside a measured window."""
+        import jax.numpy as jnp
+
+        for b in kf_buckets:
+            ids = jnp.zeros(b, jnp.int32)
+            _scatter_kf(
+                self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
+                self.kf_feat_octave, self.kf_feat_angle, self.kf_feat_valid,
+                ids,
+                jnp.zeros((b,) + self.kf_feat_uv.shape[1:], jnp.float32),
+                jnp.zeros((b,) + self.kf_feat_ur.shape[1:], jnp.float32),
+                jnp.zeros((b,) + self.kf_feat_desc.shape[1:], jnp.uint8),
+                jnp.zeros((b,) + self.kf_feat_octave.shape[1:], jnp.int32),
+                jnp.zeros((b,) + self.kf_feat_angle.shape[1:], jnp.float32),
+                jnp.zeros((b,) + self.kf_feat_valid.shape[1:], bool),
+            )[0].block_until_ready()
+        for b in pt_buckets:
+            ids = jnp.zeros(b, jnp.int32)
+            _scatter_pt(
+                self.pt_pos, self.pt_normal, self.pt_min_dist,
+                self.pt_max_dist, self.pt_desc, ids,
+                jnp.zeros((b, 3), jnp.float32), jnp.zeros((b, 3), jnp.float32),
+                jnp.zeros(b, jnp.float32), jnp.zeros(b, jnp.float32),
+                jnp.zeros((b, 32), jnp.uint8),
+            )[0].block_until_ready()
+
+    def sync(self) -> None:
+        """Bring the mirror up to date with MapState's dirty rows."""
+        import jax.numpy as jnp
+
+        from ..utils.fetch import record_uploads
+
+        w = self.w
+        n_up = 0
+        did_kf = bool(w.dirty_kf)
+        did_pt = bool(w.dirty_pt)
+        if w.dirty_kf:
+            # lo=1: the common case is ONE new keyframe; a 64-row bucket
+            # would re-upload ~4.7 MB of padding per sync (measured as
+            # the loc/*_sync spikes in step_profile_r3_tpu_devworld4)
+            ids = _pad_pow2(
+                np.fromiter(w.dirty_kf, np.int64, len(w.dirty_kf)), lo=1
+            )
+            (self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
+             self.kf_feat_octave, self.kf_feat_angle,
+             self.kf_feat_valid) = _scatter_kf(
+                self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
+                self.kf_feat_octave, self.kf_feat_angle, self.kf_feat_valid,
+                jnp.array(ids),
+                jnp.array(w.kf_feat_uv[ids], jnp.float32),
+                jnp.array(w.kf_feat_ur[ids], jnp.float32),
+                jnp.array(w.kf_feat_desc[ids]),
+                jnp.array(w.kf_feat_octave[ids], jnp.int32),
+                jnp.array(w.kf_feat_angle[ids], jnp.float32),
+                jnp.array(w.kf_feat_valid[ids]),
+            )
+            w.dirty_kf.clear()
+            n_up += 7
+        if w.dirty_pt:
+            ids = _pad_pow2(
+                np.fromiter(w.dirty_pt, np.int64, len(w.dirty_pt)), lo=256
+            )
+            (self.pt_pos, self.pt_normal, self.pt_min_dist,
+             self.pt_max_dist, self.pt_desc) = _scatter_pt(
+                self.pt_pos, self.pt_normal, self.pt_min_dist,
+                self.pt_max_dist, self.pt_desc,
+                jnp.array(ids),
+                jnp.array(w.pt_pos[ids], jnp.float32),
+                jnp.array(w.pt_normal[ids], jnp.float32),
+                jnp.array(w.pt_min_dist[ids], jnp.float32),
+                jnp.array(w.pt_max_dist[ids], jnp.float32),
+                jnp.array(w.pt_desc[ids]),
+            )
+            w.dirty_pt.clear()
+            n_up += 6
+        self.kf_q = jnp.array(w.kf_q, jnp.float32)
+        self.kf_t = jnp.array(w.kf_t, jnp.float32)
+        self.pt_valid = jnp.array(w.pt_valid)
+        record_uploads(n_up + 3)
+        # Materialize the scatter chains before anything dispatches on
+        # them: the axon tunnel intermittently WEDGES transfers whose
+        # producing dispatch consumes chained (not-yet-materialized)
+        # outputs, and even the non-wedged case showed ~400 ms enqueue
+        # stalls (measured; one blocking round trip here is ~50-100 ms
+        # and removes both failure modes).
+        if did_pt:
+            self.pt_desc.block_until_ready()
+        if did_kf:
+            self.kf_feat_desc.block_until_ready()
+        self.n_syncs += 1

@@ -51,6 +51,11 @@ class Localization:
             [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]]
         )
         self._K = K
+        self.dev_world = None
+        if cfg.loc.use_device_world:
+            from .device_world import DeviceWorld
+
+            self.dev_world = DeviceWorld(world)
 
     # ------------------------------------------------------------------
 
@@ -199,25 +204,45 @@ class Localization:
         free2 = w.kf_feat_valid[kf2_pad] & (w.kf_obs_point[kf2_pad] < 0)
         free2[T:] = False  # padded rows match nothing
 
-        match = fetch(
-            matching.search_for_triangulation_batch(
-                jnp.array(w.kf_feat_uv[kf1], jnp.float32),
-                jnp.array(w.kf_feat_ur[kf1], jnp.float32),
-                jnp.array(w.kf_feat_desc[kf1]),
-                jnp.array(w.kf_feat_octave[kf1]),
-                jnp.array(w.kf_feat_angle[kf1]),
-                jnp.array(free1),
-                jnp.array(w.kf_feat_uv[kf2_pad], jnp.float32),
-                jnp.array(w.kf_feat_ur[kf2_pad], jnp.float32),
-                jnp.array(w.kf_feat_desc[kf2_pad]),
-                jnp.array(w.kf_feat_octave[kf2_pad]),
-                jnp.array(w.kf_feat_angle[kf2_pad]),
-                jnp.array(free2),
-                jnp.array(fmat_pad),
-                jnp.array(ep_pad),
-                jnp.array(sigma2, jnp.float32),
-            )
-        )[:T]                                             # (T, F)
+        if self.dev_world is not None:
+            with Timer("loc/tri_sync"):
+                self.dev_world.sync()
+        with Timer("loc/tri_search"):
+            if self.dev_world is not None:
+                dv = self.dev_world
+                match = fetch(
+                    matching.search_for_triangulation_gather(
+                        jnp.int32(kf1),
+                        jnp.array(kf2_pad, jnp.int32),
+                        jnp.array(free1),
+                        jnp.array(free2),
+                        jnp.array(fmat_pad),
+                        jnp.array(ep_pad),
+                        jnp.array(sigma2, jnp.float32),
+                        dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+                        dv.kf_feat_octave, dv.kf_feat_angle,
+                    )
+                )[:T]                                     # (T, F)
+            else:
+                match = fetch(
+                    matching.search_for_triangulation_batch(
+                        jnp.array(w.kf_feat_uv[kf1], jnp.float32),
+                        jnp.array(w.kf_feat_ur[kf1], jnp.float32),
+                        jnp.array(w.kf_feat_desc[kf1]),
+                        jnp.array(w.kf_feat_octave[kf1]),
+                        jnp.array(w.kf_feat_angle[kf1]),
+                        jnp.array(free1),
+                        jnp.array(w.kf_feat_uv[kf2_pad], jnp.float32),
+                        jnp.array(w.kf_feat_ur[kf2_pad], jnp.float32),
+                        jnp.array(w.kf_feat_desc[kf2_pad]),
+                        jnp.array(w.kf_feat_octave[kf2_pad]),
+                        jnp.array(w.kf_feat_angle[kf2_pad]),
+                        jnp.array(free2),
+                        jnp.array(fmat_pad),
+                        jnp.array(ep_pad),
+                        jnp.array(sigma2, jnp.float32),
+                    )
+                )[:T]                                     # (T, F)
 
         # flatten candidates across pairs, keeping covisibility order
         pair_t, idx1 = np.nonzero(match >= 0)
@@ -353,9 +378,8 @@ class Localization:
 
         safe_c = np.maximum(padb(flat_c, 0), 0)
         rep = lambda a: np.repeat(a[mi], CK, axis=0)
-        x_opt, c1o, c2o, cso = fetch(
-            point_solver.optimize_triangulation(
-                self.cam,
+        with Timer("loc/tri_upload"):
+            tri_args = (
                 jnp.array(padb(rep(pts0)), jnp.float32),
                 jnp.tile(jnp.array(q1, jnp.float32), (B, 1)),
                 jnp.tile(jnp.array(t1, jnp.float32), (B, 1)),
@@ -369,10 +393,16 @@ class Localization:
                 jnp.array(padb(rep(s2i2), 1.0), jnp.float32),
                 jnp.array(self.assoc._normal[safe_c], jnp.float32),
                 jnp.array(self.assoc._means[safe_c], jnp.float32),
-                tri_lambda2=cfg.loc.tri_lambda2,
-                iters=cfg.loc.tri_opt_iters,
             )
-        )
+        with Timer("loc/tri_solve"):
+            x_opt, c1o, c2o, cso = fetch(
+                point_solver.optimize_triangulation(
+                    self.cam,
+                    *tri_args,
+                    tri_lambda2=cfg.loc.tri_lambda2,
+                    iters=cfg.loc.tri_opt_iters,
+                )
+            )
         x_opt = x_opt[:n_flat].reshape(len(mi), CK, 3)
         c1o = c1o[:n_flat].reshape(len(mi), CK)
         c2o = c2o[:n_flat].reshape(len(mi), CK)
@@ -490,11 +520,20 @@ class Localization:
         ]
         w.pt_fuse_tgt_kf[fc] = stamp
 
-        # ONE vmapped fuse-match dispatch for all (target, query-set) jobs
-        jobs = [(int(k), curr_pts) for k in tgt]
-        if len(fc):
-            jobs.append((kf, fc))
-        self._fuse_jobs(jobs)
+        if self.dev_world is not None:
+            # device path: the forward jobs share ONE query set (the
+            # current KF's landmarks) projected per target ON DEVICE from
+            # the mirror; the reverse direction is a second dispatch so
+            # its query bucket doesn't inflate the forward tier.
+            self._fuse_device([int(k) for k in tgt], curr_pts)
+            if len(fc):
+                self._fuse_device([kf], fc)
+        else:
+            # ONE vmapped fuse-match dispatch for all (target, query) jobs
+            jobs = [(int(k), curr_pts) for k in tgt]
+            if len(fc):
+                jobs.append((kf, fc))
+            self._fuse_jobs(jobs)
 
         o = w.kf_obs_point[kf]
         upd = np.unique(o[o >= 0])
@@ -597,8 +636,8 @@ class Localization:
             + [np.zeros(B, bool)] * (TP - T)
         )
 
-        match = fetch(
-            matching.fuse_match_batch(
+        with Timer("loc/fuse_upload"):
+            dev_args = (
                 jnp.array(q_uv), jnp.array(q_ur), jnp.array(q_desc),
                 jnp.array(q_lvl), jnp.array(q_rad), jnp.array(q_ok),
                 jnp.array(w.kf_feat_uv[kfs], jnp.float32),
@@ -608,7 +647,10 @@ class Localization:
                 jnp.array(w.kf_feat_valid[kfs]),
                 jnp.array(w.pyr["sigma2_inv"], jnp.float32),
             )
-        )
+        with Timer("loc/fuse_dispatch"):
+            res = matching.fuse_match_batch(*dev_args)
+        with Timer("loc/fuse_fetch"):
+            match = fetch(res)
 
         num_fused = 0
         for ti, (k, pids, *_rest) in enumerate(prepped):
@@ -631,7 +673,86 @@ class Localization:
 
     def _fuse(self, kf: int, pids: np.ndarray, th: float = 3.0) -> int:
         """Single-target fuseObservations (kept for tests/callers)."""
+        if self.dev_world is not None:
+            return self._fuse_device([kf], pids, th=th)
         return self._fuse_jobs([(kf, pids)])
+
+    def _fuse_device(self, kfs, pids: np.ndarray, th: float = 3.0) -> int:
+        """fuseObservations against many targets with the world resident
+        on device: projection/gating/matching gather from the mirror; the
+        host uploads only the query ids, target ids and the per-target
+        already-observed mask. Surgery semantics identical to _fuse_jobs."""
+        w = self.world
+        from .association import bucket_size
+
+        pids = np.asarray(pids, np.int64)
+        pids = pids[w.pt_valid[pids]]
+        if len(pids) == 0 or not kfs:
+            return 0
+        if len(pids) > 8192:
+            # keep query buckets inside the prewarmed tier grid; the
+            # oversized reverse job (union of all 2nd-ring points) is the
+            # only path that exceeds it
+            return sum(
+                self._fuse_device(kfs, pids[i : i + 8192], th=th)
+                for i in range(0, len(pids), 8192)
+            )
+        dv = self.dev_world
+        with Timer("loc/fuse_sync"):
+            dv.sync()
+        T = len(kfs)
+        TP = 1 << max(0, (T - 1).bit_length())
+        B = bucket_size(len(pids))
+        with Timer("loc/fuse_prep"):
+            kf_arr = np.array(list(kfs) + [kfs[0]] * (TP - T), np.int32)
+            job_ok = np.zeros(TP, bool)
+            job_ok[:T] = True
+            pid_pad = np.zeros(B, np.int32)
+            pid_pad[: len(pids)] = pids
+            q_ok = np.zeros(B, bool)
+            q_ok[: len(pids)] = True
+            # (TP,B): landmark already observed by the target (host registry)
+            skip = (
+                w.pt_obs_kf[pid_pad][None, :, :] == kf_arr[:, None, None]
+            ).any(-1)
+
+        with Timer("loc/fuse_dispatch"):
+            res = matching.fuse_project_match_gather(
+                self.cam,
+                jnp.array(kf_arr), jnp.array(job_ok),
+                jnp.array(pid_pad), jnp.array(q_ok), jnp.array(skip),
+                dv.kf_q, dv.kf_t,
+                dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+                dv.kf_feat_octave, dv.kf_feat_valid,
+                dv.pt_pos, dv.pt_normal, dv.pt_min_dist, dv.pt_max_dist,
+                dv.pt_desc, dv.pt_valid,
+                jnp.array(w.pyr["sigma2_inv"], jnp.float32),
+                jnp.array(w.pyr["scale_factors"], jnp.float32),
+                jnp.float32(w.pyr["log_scale_factor"]),
+                th=th,
+            )
+        with Timer("loc/fuse_fetch"):
+            match = fetch(res)
+
+        num_fused = 0
+        for ti in range(T):
+            k = int(kf_arr[ti])
+            m = match[ti][: len(pids)]
+            for j in np.where(m >= 0)[0]:
+                p = pids[j]
+                if not w.pt_valid[p]:
+                    continue
+                ft = int(m[j])
+                existing = w.kf_obs_point[k, ft]
+                if existing >= 0 and w.pt_valid[existing]:
+                    if w.pt_n_obs[existing] > w.pt_n_obs[p]:
+                        w.replace_point(p, existing)
+                    else:
+                        w.replace_point(existing, p)
+                else:
+                    w.add_observation(p, k, ft)
+                num_fused += 1
+        return num_fused
 
     # ------------------------------------------------------------------
 
@@ -862,6 +983,7 @@ class Localization:
             w.kf_q[k], w.kf_t[k] = n, new_t[i]
         w.pt_pos[pts_np] = new_pts[:n_act].astype(np.float64)
         w.map_version += 1  # BA moved poses/points in place (cache tokens)
+        w.dirty_pt.update(pts_np.tolist())
 
         # association downgrade (:837-855)
         drop = drop_all[:n_act]

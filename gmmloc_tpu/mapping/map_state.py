@@ -124,6 +124,11 @@ class MapState:
         # this instead of raw counts, which can collide when BA moves
         # pt_pos without changing counts (ADVICE r2 medium).
         self.map_version = 0
+        # Dirty-row sets consumed by DeviceWorld.sync(): rows whose
+        # mirrored attributes (kf feature tables; pt pos/normal/dists/
+        # descriptor) changed since the last device sync.
+        self.dirty_kf: set = set()
+        self.dirty_pt: set = set()
 
     # ------------------------------------------------------------------ kfs
 
@@ -162,6 +167,7 @@ class MapState:
         self._kf_order.append(kf)
         self.max_kf_frame_idx = max(self.max_kf_frame_idx, frame.idx)
         self.map_version += 1
+        self.dirty_kf.add(kf)
         return kf
 
     # ----------------------------------------------------------- points
@@ -188,6 +194,7 @@ class MapState:
         self.pt_fuse_tgt_kf[p] = -1
         if ref_kf >= 0:  # persistent points only; temporal churn excluded
             self.map_version += 1
+        self.dirty_pt.add(p)
         return p
 
     def resolve_replaced(self, p: int) -> int:
@@ -317,6 +324,7 @@ class MapState:
         kfs, feats = self.point_observations(p)
         if len(kfs) == 0:
             return
+        self.dirty_pt.add(p)
         descs = self.kf_feat_desc[kfs, feats]           # (n, 32)
         if len(descs) == 1:
             self.pt_desc[p] = descs[0]
@@ -335,6 +343,7 @@ class MapState:
         pids = pids[self.pt_valid[pids]]
         if len(pids) == 0:
             return
+        self.dirty_pt.update(pids.tolist())
         okf = self.pt_obs_kf[pids]                       # (n, MO)
         oft = self.pt_obs_feat[pids]
         m = okf >= 0                                     # (n, MO)
@@ -359,6 +368,7 @@ class MapState:
         kfs, feats = self.point_observations(p)
         if len(kfs) == 0:
             return
+        self.dirty_pt.add(p)
         pos = self.pt_pos[p]
         # camera centers: t_wc = -R_cw^T t_cw
         normals = []
@@ -388,6 +398,7 @@ class MapState:
         pids = pids[self.pt_valid[pids]]
         if len(pids) == 0:
             return
+        self.dirty_pt.update(pids.tolist())
         # camera centers for all valid KFs (batched R^T t)
         t_wc = np.zeros((self.MK, 3))
         kfs_valid = np.where(self.kf_valid)[0]
@@ -488,6 +499,7 @@ class MapState:
         self._kf_order.remove(kf)
         self._free_kf.append(kf)
         self.map_version += 1
+        self.dirty_kf.add(kf)
 
     # ------------------------------------------------------- trajectory
 

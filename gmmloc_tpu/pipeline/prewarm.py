@@ -128,8 +128,109 @@ def prewarm_fuse(cfg: SystemConfig, tp_tiers=(1, 2, 4, 8, 16),
     return n
 
 
+def prewarm_point_solvers(
+    cfg: SystemConfig, cam: cam_mod.CameraParams,
+    buckets=(256, 512, 1024, 2048, 4096, 8192), log=None,
+) -> int:
+    """Compile optimize_point_stereo / optimize_triangulation at every
+    pow2 bucket the association/triangulation paths can hit (uncompiled
+    buckets measured as multi-second spikes inside measured windows:
+    expr_prof/step_profile_r3_tpu_fine.json loc/tri_solve)."""
+    import jax.numpy as jnp
+
+    from ..solver import point_solver
+    from ..utils.fetch import fetch
+
+    loc = cfg.loc
+    n = 0
+    for B in buckets:
+        x0 = jnp.zeros((B, 3), jnp.float32).at[:, 2].set(5.0)
+        q = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (B, 1))
+        t = jnp.zeros((B, 3), jnp.float32)
+        obs = jnp.full((B, 3), 300.0, jnp.float32)
+        nrm = jnp.tile(jnp.array([0.0, 0, 1], jnp.float32), (B, 1))
+        res = point_solver.optimize_point_stereo(
+            cam, x0, q, t, obs,
+            jnp.ones(B, jnp.float32), nrm, x0, jnp.ones(B, jnp.float32),
+            chi2_proj_thresh=loc.chi2_stereo,
+            str_chi2_thresh=loc.tri_str_thresh * loc.tri_lambda2,
+            iters=loc.point_opt_iters,
+            tri_check_str_chi2=loc.tri_check_str_chi2,
+        )
+        fetch((res.ok,))
+        out = point_solver.optimize_triangulation(
+            cam, x0, q, t, obs, jnp.zeros(B, bool), jnp.ones(B, jnp.float32),
+            q, t, obs, jnp.zeros(B, bool), jnp.ones(B, jnp.float32),
+            nrm, x0, tri_lambda2=loc.tri_lambda2, iters=loc.tri_opt_iters,
+        )
+        fetch((out[0],))
+        n += 2
+    if log:
+        log(f"prewarm point solvers: {n} bucket programs")
+    return n
+
+
+def prewarm_device_world(
+    cfg: SystemConfig, cam: cam_mod.CameraParams,
+    fwd_tiers=(1, 2, 4, 8, 16, 32, 64), fwd_buckets=(256, 512, 1024, 2048),
+    rev_buckets=(4096, 8192), log=None,
+) -> int:
+    """Compile the device-world gather kernels (fusion forward tiers,
+    the big single-target reverse buckets, the T=10 triangulation
+    search) against a zero-filled mirror."""
+    import jax.numpy as jnp
+
+    from ..features import matching
+    from ..mapping.device_world import DeviceWorld
+    from ..mapping.map_state import MapState
+    from ..utils.fetch import fetch
+
+    dv = DeviceWorld(MapState(cfg))
+    dv.sync()
+    dv.prewarm_scatters(pt_buckets=(256, 512, 1024, 2048, 4096, 8192))
+    s2i = jnp.ones(cfg.frame.num_levels, jnp.float32)
+    sf = jnp.ones(cfg.frame.num_levels, jnp.float32)
+    n = 0
+    combos = [(tp, b) for tp in fwd_tiers for b in fwd_buckets]
+    combos += [(1, b) for b in rev_buckets]
+    for TP, B in combos:
+        m = matching.fuse_project_match_gather(
+            cam,
+            jnp.zeros(TP, jnp.int32), jnp.zeros(TP, bool),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
+            jnp.zeros((TP, B), bool),
+            dv.kf_q, dv.kf_t,
+            dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+            dv.kf_feat_octave, dv.kf_feat_valid,
+            dv.pt_pos, dv.pt_normal, dv.pt_min_dist, dv.pt_max_dist,
+            dv.pt_desc, dv.pt_valid,
+            s2i, sf, jnp.float32(0.18),
+        )
+        fetch((m,))
+        n += 1
+    F = cfg.frame.feat_cap
+    T = 10  # create_map_points' fixed neighbor tier
+    m = matching.search_for_triangulation_gather(
+        jnp.int32(0), jnp.zeros(T, jnp.int32),
+        jnp.zeros(F, bool), jnp.zeros((T, F), bool),
+        jnp.zeros((T, 3, 3), jnp.float32), jnp.zeros((T, 2), jnp.float32),
+        jnp.ones(cfg.frame.num_levels, jnp.float32),
+        dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+        dv.kf_feat_octave, dv.kf_feat_angle,
+    )
+    fetch((m,))
+    n += 1
+    if log:
+        log(f"prewarm device-world kernels: {n} programs")
+    return n
+
+
 def prewarm(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
     """Warm the tier grid a long run can hit after its opening frames."""
     n = prewarm_ba(cfg, cam, log=log)
-    n += prewarm_fuse(cfg, log=log)
+    if cfg.loc.use_device_world:
+        n += prewarm_device_world(cfg, cam, log=log)
+    else:
+        n += prewarm_fuse(cfg, log=log)
+    n += prewarm_point_solvers(cfg, cam, log=log)
     return n

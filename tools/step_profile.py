@@ -125,6 +125,8 @@ def main():
                 "count": a.count,
                 "total_s": round(a.total, 4),
                 "mean_ms": round(a.mean() * 1e3, 3),
+                "min_ms": round(a.min * 1e3, 3),
+                "max_ms": round(a.max * 1e3, 3),
                 "ms_per_frame": round(a.total / n_done * 1e3, 3),
             }
     # leaf stages only (no double counting): drop aggregates that contain
