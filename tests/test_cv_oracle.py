@@ -144,6 +144,44 @@ def test_match_rate_vs_opencv_orb(stereo_world):
 
     assert n_cv > 50, "oracle produced too few matches (bad fixture)"
     assert n_ours >= 0.5 * n_cv, f"match count {n_ours} vs oracle {n_cv}"
-    assert prec_ours >= prec_cv - 0.10, (
+    # tightened from -0.10 (VERDICT r2 #8): the G-II BRIEF pattern
+    # measured 96.1% on this fixture vs the oracle's 93.9%
+    assert prec_ours >= prec_cv - 0.05, (
         f"precision {prec_ours:.2f} vs oracle {prec_cv:.2f}"
+    )
+
+
+def test_descriptor_distance_separation(stereo_world):
+    """Matched-pair Hamming distances must separate cleanly from the
+    random-pair background (VERDICT r2 #8: distribution check). A weak
+    pattern (correlated tests) collapses the background toward the
+    matched mode and the matcher loses discrimination."""
+    cfg, _, img0, img1, pose0, pose1, world = stereo_world
+    det = detect.ORBDetector(img0.shape[0], img0.shape[1],
+                             num_features=800, num_levels=4,
+                             use_pallas_fast=False)
+    d0 = det(jnp.asarray(img0, jnp.float32))
+    d1 = det(jnp.asarray(img1, jnp.float32))
+    m, md = matching.mutual_best_match(
+        d0.desc, d0.valid, d1.desc, d1.valid, max_dist=matching.TH_LOW
+    )
+    m = np.asarray(m)
+    qi = np.where(m >= 0)[0]
+    assert len(qi) > 80
+    matched = np.asarray(md)[qi]
+
+    # random-pair background over valid descriptors
+    a = np.asarray(d0.desc)[np.asarray(d0.valid)]
+    b = np.asarray(d1.desc)[np.asarray(d1.valid)]
+    rng = np.random.default_rng(0)
+    ia = rng.integers(0, len(a), 4000)
+    ib = rng.integers(0, len(b), 4000)
+    pop = np.unpackbits(a[ia] ^ b[ib], axis=1).sum(1)
+
+    # background mode near 128 (uncorrelated bits), matched mode far below
+    assert np.median(pop) > 100, f"background median {np.median(pop)}"
+    assert np.median(matched) < matching.TH_LOW, np.median(matched)
+    # separation: background p5 above the matcher acceptance threshold
+    assert np.percentile(pop, 5) > matching.TH_LOW, (
+        np.percentile(pop, 5),
     )

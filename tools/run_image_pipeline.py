@@ -54,25 +54,30 @@ def main():
     sys_ = GMMLocSystem(cfg, gmap)
 
     t0 = time.time()
-    errs = []
+    frames = []
     for i in range(n_frames):
         fi = start + i
         left, right = renderer.render_stereo(q_wc[fi], t_wc[fi])
         frame = frontend.process(i, ts[fi], left, right)
         n_depth = int((frame.depth > 0).sum())
+        # pipelined default: stat belongs to the PREVIOUS frame (None
+        # while the first is in flight); final poses land at drain time
         st = sys_.step(frame, q_wc[fi], t_wc[fi])
-        qi, ti = _inverse(frame.q_cw, frame.t_cw)
-        err = np.linalg.norm(ti - t_wc[fi])
-        errs.append(err)
+        frames.append((fi, frame))
         print(
             f"f{i}: feats={frame.num_features()} stereo={n_depth} "
-            f"terr={err*1000:.1f}mm inl={st.num_match_inliers} "
+            f"inl={st.num_match_inliers if st is not None else '-'} "
             f"kfs={sys_.world.n_keyframes()} pts={sys_.world.n_points()}",
             flush=True,
         )
-        if not st.res:
+        if sys_.track_failed or (st is not None and not st.res):
             print("TRACKING FAILED")
             break
+    sys_.flush()
+    errs = []
+    for fi, frame in frames:
+        _, ti = _inverse(frame.q_cw, frame.t_cw)
+        errs.append(np.linalg.norm(ti - t_wc[fi]))
     wall = time.time() - t0
     print(f"\n{len(errs)} frames in {wall:.0f}s; max err {max(errs)*1000:.1f}mm")
 
