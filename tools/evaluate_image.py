@@ -50,16 +50,30 @@ def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None):
     frontend = ImageFrontend(cfg)
     sys_ = GMMLocSystem(cfg, gmap)
     N = min(n_frames, len(ts) - start)
+    # harness off the clock: render the sprite imagery before the timed
+    # window (uint8 to bound memory); the system under measurement starts
+    # at the image front-end
+    imgs = []
+    for i in range(N):
+        fi = start + i
+        left, right = renderer.render_stereo(q_wc[fi], t_wc[fi])
+        imgs.append(
+            (np.clip(np.round(left), 0, 255).astype(np.uint8),
+             np.clip(np.round(right), 0, 255).astype(np.uint8))
+        )
     t0 = time.time()
     done = 0
     for i in range(N):
         fi = start + i
-        left, right = renderer.render_stereo(q_wc[fi], t_wc[fi])
+        left, right = imgs[i]
         frame = frontend.process(i, ts[fi], left, right)
         sys_.step(frame, q_wc[fi], t_wc[fi])
         if sys_.track_failed:
             break
         done += 1
+        if done % 100 == 0:
+            print(f"  [{seq} r{run_idx}] {done}/{N} frames "
+                  f"({done/(time.time()-t0):.1f} fps)", flush=True)
     wall = time.time() - t0
     sys_.stop()
     ts_est, q_est, t_est = sys_.export_trajectory()
@@ -84,6 +98,13 @@ def main():
     ap.add_argument("--seqs", default="V1_01_easy")
     ap.add_argument("--out", default="expr_img")
     ap.add_argument("--damping", type=float, default=0.9)
+    ap.add_argument("--refexact", action="store_true",
+                    help="reference-exact tracking contract (ablation, "
+                         "VERDICT r2 missing #5): raw constant-velocity "
+                         "model (damping=1.0, ema=1.0), GMM pose anchors "
+                         "off, plausibility gate off, no relocalization "
+                         "(the reference's behavior is tracking.cpp:35-116 "
+                         "alone)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -92,14 +113,20 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
     cfg = euroc_v1_config()
+    tk = dict(
+        velocity_damping=args.damping,
+        use_fused_track=True, pipelined_track=True,
+    )
+    if args.refexact:
+        tk.update(
+            velocity_damping=1.0, velocity_ema=1.0,
+            use_gmm_pose_anchor=False, max_jump_trans=1e9,
+        )
     cfg = cfg.replace(
         camera=dataclasses.replace(
             cfg.camera, do_rectify=False, do_equalization=False
         ),
-        tracking=dataclasses.replace(
-            cfg.tracking, velocity_damping=args.damping,
-            use_fused_track=True, pipelined_track=True,
-        ),
+        tracking=dataclasses.replace(cfg.tracking, **tk),
     )
     results = {}
     gmaps = {}
