@@ -30,14 +30,16 @@ cost AND recomputed Jacobians at the unchanged state after a reject.
 Products are mask-independent (active/huber masks apply at assembly
 time), so they stay valid across the stage-gate transitions.
 
-Variant selection (measured on TPU v5e, production tier L=16/P=8192/MO=12
-with 0.5 px observation noise, tools/ba_variants.py): flat/lu 75.5 ms,
-flat/cg 78.0 ms, onehot/lu 107.9 ms per staged solve — hence the "flat"
+Variant selection: flat/lu 75.5 ms, flat/cg 78.0 ms, onehot/lu 107.9 ms
+per staged solve (HISTORICAL: measured round 1 on TPU v5e at tier
+L=16/P=8192/MO=12, 0.5 px noise, tools/ba_variants.py, BEFORE the
+carried-products LM loop halved the (P,MO) passes) — hence the "flat"
 Schur default. LU keeps the exact step; the 96x96 solve is ~0.6 ms.
-NOTE: those variant timings predate the carried-products LM loop (which
-halved the (P,MO) passes per iteration); the ranking is expected to hold
-but the absolute numbers are stale — re-run tools/ba_variants.py for
-current values.
+Current absolute cost of the production solve in situ: loc/ba mean
+140-170 ms per spin incl. gather/write-back through the dev tunnel
+(expr_prof/step_profile_r3_tpu_devworld4.json); re-run
+tools/ba_variants.py on direct-attached hardware before revisiting the
+variant ranking.
 
 Memory note: carrying r/Jc/Jp ((P,MO,3,6)+(P,MO,3,3)+(P,MO,3) in bf16)
 in the while_loop keeps two copies live (accepted + proposed) during the
