@@ -192,8 +192,10 @@ def e2e_fps(n_frames: int = 175, warm: int = 25, timeout_s: float = 1400.0):
     )
     pct = {}
     if dts:
-        p50 = dts[len(dts) // 2]
-        p95 = dts[min(len(dts) - 1, int(len(dts) * 0.95))]
+        # nearest-rank at round((n-1)*q): consistent estimator for small n
+        # (ADVICE r3: len//2 took the upper median; int(n*.95) over-indexed)
+        p50 = dts[round((len(dts) - 1) * 0.50)]
+        p95 = dts[round((len(dts) - 1) * 0.95)]
         pct = {
             "e2e_frame_ms_p50": round(p50 * 1e3, 2),
             "e2e_frame_ms_p95": round(p95 * 1e3, 2),

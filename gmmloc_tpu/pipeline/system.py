@@ -366,9 +366,20 @@ class GMMLocSystem:
         stat belongs to the PREVIOUS frame; on_frame receives the frame
         the stat was computed for, and the final in-flight frame's stat
         (from flush) goes through the same accounting (ADVICE r2 low)."""
+        import time as _time
+
+        from ..utils.control import control as ctl
+
         self._last_done = None
         i = -1
         for i, frame in enumerate(frames):
+            # run-control gate (ref: gmmloc.cpp:128-131 — spin while
+            # paused unless single-stepped; stop breaks the loop)
+            while not ctl.should_run() and not ctl.stop:
+                _time.sleep(0.001)
+            ctl.consume_step()
+            if ctl.stop:
+                break
             g_q = gt_q_wc[i] if gt_q_wc is not None else None
             g_t = gt_t_wc[i] if gt_t_wc is not None else None
             stat = self.step(frame, g_q, g_t)

@@ -42,3 +42,18 @@ class _Control:
 
 
 control = _Control()
+
+
+def install_signal_handlers(ctl: _Control = control) -> None:
+    """Map POSIX signals onto the control flags for headless drivers
+    (the reference's keyboard handler, visualizer.cpp:205-221, is a GUI
+    affair; a CLI process takes signals instead):
+
+      SIGUSR1 -> toggle pause     SIGUSR2 -> single-step
+      SIGTERM -> graceful stop (finish frame, export trajectory)
+    """
+    import signal
+
+    signal.signal(signal.SIGUSR1, lambda *_: ctl.toggle_pause())
+    signal.signal(signal.SIGUSR2, lambda *_: ctl.request_step())
+    signal.signal(signal.SIGTERM, lambda *_: ctl.request_stop())

