@@ -325,11 +325,14 @@ def main():
         has_prior=jnp.array(True),
     )
     t_ba = timeit(
-        lambda p: local_ba.solve_local_ba(cam, p, n_free=L), prob,
-        warmup=1, iters=3,
+        lambda p: local_ba.solve_local_ba(
+            cam, p, n_free=L, schur_impl=cfg.loc.ba_schur_impl
+        ),
+        prob, warmup=1, iters=3,
     )
     detail["local_ba_ms"] = t_ba * 1e3
     detail["ba_solves_per_sec"] = 1.0 / t_ba
+    detail["ba_schur_impl"] = cfg.loc.ba_schur_impl
 
     # offline protocol: KF (assoc + BA) inline every ~8 frames (measured
     # KF cadence across the r2 protocol sweep: 46-87 KFs per 400 frames)

@@ -117,9 +117,11 @@ class LocConfig:
     # cost identical to 1e-6's (which burns 11-18) — tools note in
     # solver/local_ba.py docstring.
     ba_term_gain: float = 1e-5
-    # Schur camera-system assembly: "flat" (large clean GEMMs) or "onehot"
-    # (einsum with one-hot gathers); flat measured faster on TPU v5e
-    ba_schur_impl: str = "flat"
+    # Schur camera-system assembly: "flatpm" (lane-major (k, P*MO)
+    # layout, block-diagonal H_cc GEMMs — 10.3 ms vs flat's 47.4 ms at
+    # the production tier on TPU v5e, measured r4; see
+    # _solve_flat_pm docstring), "flat" (Z-tensor GEMMs), or "onehot"
+    ba_schur_impl: str = "flatpm"
     # reduced-system solve: "lu" (exact, sequential lowering) or "cg"
     # (Jacobi-PCG matvecs; LM accepts inexact steps)
     ba_linear_solver: str = "lu"

@@ -4,6 +4,7 @@ on synthetic geometry with known ground truth."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gmmloc_tpu.config import CameraConfig
 from gmmloc_tpu.geometry import camera as cam_mod
@@ -415,3 +416,53 @@ def test_local_ba_bf16_matches_f32(rng):
         assert float(jnp.linalg.norm(err)) < 2e-3, f"cam {c}: {err}"
     d = np.linalg.norm(np.asarray(r16.pts) - np.asarray(r32.pts), axis=-1)
     assert np.median(d) < 5e-3, np.median(d)
+
+
+@pytest.mark.parametrize("impl", ["blockdiag", "flatpm"])
+def test_local_ba_impl_matches_flat(rng, impl):
+    """Every Schur-assembly implementation computes the same
+    contractions (H_cc off-diagonal blocks are structurally zero;
+    flatpm is the lane-major production default) — all must land on the
+    same optimum with the same edge classification."""
+    prob, q_gt, t_gt, pts_gt, _, O = build_ba_problem(rng)
+    pert = jnp.array(rng.standard_normal(prob.pts.shape) * 0.03)
+    prob = prob._replace(pts=prob.pts + pert)
+    rf = local_ba.solve_local_ba(
+        CAM, prob, n_free=4, iters3=20, schur_impl="flat")
+    rb = local_ba.solve_local_ba(
+        CAM, prob, n_free=4, iters3=20, schur_impl=impl)
+    for c in range(4):
+        err = se3.log(*se3.compose(
+            *se3.inverse(rf.cam_q[c], rf.cam_t[c]), rb.cam_q[c], rb.cam_t[c]
+        ))
+        assert float(jnp.linalg.norm(err)) < 2e-3, f"cam {c}: {err}"
+    d = np.linalg.norm(np.asarray(rb.pts) - np.asarray(rf.pts), axis=-1)
+    assert np.median(d) < 5e-3, np.median(d)
+    # same edge classification
+    assert np.array_equal(np.asarray(rb.str_drop), np.asarray(rf.str_drop))
+
+
+def test_local_ba_batch_matches_solo(rng):
+    """vmapped multi-window solve == per-window solves (lock-step LM with
+    per-window accept masking preserves each window's own schedule)."""
+    import jax
+
+    probs = []
+    for seed in (1, 2, 3):
+        r = np.random.default_rng(seed)
+        prob, *_ = build_ba_problem(r)
+        pert = jnp.array(r.standard_normal(prob.pts.shape) * 0.03)
+        probs.append(prob._replace(pts=prob.pts + pert))
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+    rb = local_ba.solve_local_ba_batch(CAM, batch, n_free=4, iters3=20)
+    for i, p in enumerate(probs):
+        rs = local_ba.solve_local_ba(
+            CAM, p, n_free=4, iters3=20, schur_impl="blockdiag")
+        for c in range(4):
+            err = se3.log(*se3.compose(
+                *se3.inverse(rs.cam_q[c], rs.cam_t[c]),
+                rb.cam_q[i, c], rb.cam_t[i, c]
+            ))
+            assert float(jnp.linalg.norm(err)) < 2e-3, f"w{i} cam{c}: {err}"
+        d = np.linalg.norm(np.asarray(rb.pts[i]) - np.asarray(rs.pts), axis=-1)
+        assert np.median(d) < 5e-3, (i, np.median(d))

@@ -72,8 +72,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters3", type=int, default=40)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--impls", default="flat,blockdiag")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="also time a vmapped batch of this many windows "
+                         "at the production tier (0 = skip)")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from gmmloc_tpu.config import euroc_v1_config
@@ -89,21 +94,48 @@ def main():
     print(f"MO={MO} iters3={args.iters3}")
     for (L, C, P) in tiers:
         prob = build(rng, cam, L, C, P, MO)
-        for bf16 in (False, True):
-            def run():
-                r = local_ba.solve_local_ba(
-                    cam, prob, n_free=L, iters3=args.iters3, use_bf16=bf16
-                )
-                return float(r.cost)  # forces completion
+        for impl in args.impls.split(","):
+            for bf16 in (False, True):
+                def run():
+                    r = local_ba.solve_local_ba(
+                        cam, prob, n_free=L, iters3=args.iters3,
+                        use_bf16=bf16, schur_impl=impl,
+                    )
+                    return float(r.cost)  # forces completion
 
-            run()  # compile + warm
+                run()  # compile + warm
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    run()
+                    ts.append(time.perf_counter() - t0)
+                print(f"L={L:3d} C={C:3d} P={P:5d} {impl:9s} bf16={int(bf16)}: "
+                      f"{min(ts)*1e3:7.1f} ms (best of {args.reps})",
+                      flush=True)
+
+    if args.batch:
+        B = args.batch
+        L, C, P = tiers[-1]
+        probs = [build(np.random.default_rng(s), cam, L, C, P, MO)
+                 for s in range(B)]
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+        for impl in args.impls.split(","):
+            def runb():
+                r = local_ba.solve_local_ba_batch(
+                    cam, batch, n_free=L, iters3=args.iters3,
+                    schur_impl=impl,
+                )
+                return float(jnp.sum(r.cost))
+
+            runb()
             ts = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                run()
+                runb()
                 ts.append(time.perf_counter() - t0)
-            print(f"L={L:3d} C={C:3d} P={P:5d} bf16={int(bf16)}: "
-                  f"{min(ts)*1e3:7.1f} ms (best of {args.reps})")
+            per = min(ts) * 1e3 / B
+            print(f"batch B={B} L={L} C={C} P={P} {impl:9s} bf16=1: "
+                  f"{min(ts)*1e3:7.1f} ms = {per:6.1f} ms/solve", flush=True)
 
 
 if __name__ == "__main__":
