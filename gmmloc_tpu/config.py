@@ -200,6 +200,19 @@ class TrackingConfig:
     # every computed value, is identical to the synchronous fused path
     # (tests/test_pipelined.py asserts trajectory equality).
     pipelined_track: bool = True
+    # Deep device-chained pipeline: dispatch frame N+1 from frame N's
+    # UN-FETCHED device output (pose prediction, landmark chain and
+    # temporal points computed on device — fused.fused_track_step_chained)
+    # and drain results with this lag, hiding the per-frame readback RTT
+    # behind `pipeline_depth` dispatches. 1 = the classic 1-deep pipeline
+    # (drain before every dispatch). >1 requires packed IO + kf-cadence
+    # map refresh + the device world mirror; host bookkeeping (KF policy,
+    # mapping, counters) runs at drain time, pipeline_depth frames behind
+    # the dispatch front — the same bounded-staleness contract as the
+    # reference's online tracking/mapping split (gmmloc.cpp:56-59).
+    # Anomalies (under-match, plausibility coast, loss) rewind the
+    # in-flight frames onto the synchronous path and re-prime.
+    pipeline_depth: int = 1
     # Constant-velocity model damping. 1.0 reproduces the reference
     # (gmmloc.cpp:288 delta * Tcw); <1.0 geometrically decays the
     # extrapolated velocity, bounding the pose random-walk gain during

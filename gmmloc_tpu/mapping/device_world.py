@@ -84,6 +84,9 @@ class DeviceWorld:
         self.kf_q = jnp.zeros((MK, 4), jnp.float32)
         self.kf_t = jnp.zeros((MK, 3), jnp.float32)
         self.pt_valid = jnp.zeros(MP, bool)
+        # BA-vetted GMM component per point (-1 none) — consumed by the
+        # chained track step's on-device landmark-table construction
+        self.pt_comp = jnp.full(MP, -1.0, jnp.float32)
         self.n_syncs = 0
 
     # ------------------------------------------------------------------
@@ -169,7 +172,10 @@ class DeviceWorld:
         self.kf_q = jnp.array(w.kf_q, jnp.float32)
         self.kf_t = jnp.array(w.kf_t, jnp.float32)
         self.pt_valid = jnp.array(w.pt_valid)
-        record_uploads(n_up + 3)
+        self.pt_comp = jnp.array(
+            np.where(w.pt_assoc_vetted, w.pt_assoc_comp, -1).astype(np.float32)
+        )
+        record_uploads(n_up + 4)
         # Materialize the scatter chains before anything dispatches on
         # them: the axon tunnel intermittently WEDGES transfers whose
         # producing dispatch consumes chained (not-yet-materialized)

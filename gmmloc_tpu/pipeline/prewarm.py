@@ -225,6 +225,60 @@ def prewarm_device_world(
     return n
 
 
+def prewarm_chained(cfg: SystemConfig, cam: cam_mod.CameraParams,
+                    log=None) -> int:
+    """Compile the device-chained track step (fused_track_step_chained)
+    with the exact static args fused_dispatch_chained passes."""
+    import jax.numpy as jnp
+
+    from ..mapping.map_state import MapState
+    from ..tracking import fused
+    from ..utils.fetch import fetch
+
+    tk = cfg.tracking
+    if tk.pipeline_depth <= 1 or not tk.fused_packed_io:
+        return 0
+    w = MapState(cfg)
+    F = cfg.frame.feat_cap
+    P = tk.fused_local_map_cap
+    MP = w.MP
+    pyr = w.pyr
+    out0 = jnp.zeros(10 + 3 * F + P, jnp.float32)
+    cur0 = jnp.zeros((F, fused.CUR_W), jnp.float32)
+    dyn0 = jnp.zeros((F, fused.DYN_W), jnp.float32)
+    map0 = jnp.zeros((P, fused.MAP_W), jnp.float32)
+    gmm0 = jnp.zeros((cfg.caps.gmm_components_pad, fused.GMM_W), jnp.float32)
+    kw = dict(
+        use_anchors=tk.use_gmm_pose_anchor,
+        anchor_lambda2=float(tk.anchor_lambda2),
+        anchor_chi2_gate=float(tk.anchor_chi2_gate),
+        anchor_min_edges=int(tk.anchor_min_edges),
+        velocity_ema=float(tk.velocity_ema),
+        velocity_damping=float(tk.velocity_damping),
+        th_depth=float(pyr["th_depth"]),
+        temp_cap=int(tk.temporal_points_cap),
+        motion_radius=float(tk.motion_search_radius),
+        local_radius=float(tk.local_search_radius),
+    )
+    n = 0
+    for out in (out0, jnp.zeros(10 + 3 * F + P + 7, jnp.float32)):
+        r = fused.fused_track_step_chained(
+            cam, out, cur0, dyn0, map0,
+            jnp.zeros(7, jnp.float32), jnp.zeros(8, jnp.float32),
+            jnp.zeros((MP, 3), jnp.float32), jnp.zeros(MP, bool),
+            jnp.full(MP, -1.0, jnp.float32),
+            cur0, map0, gmm0,
+            jnp.ones(cfg.frame.num_levels, jnp.float32),
+            float(pyr["log_scale_factor"]), cfg.frame.num_levels,
+            **kw,
+        )
+        fetch((r[0],))
+        n += 1
+    if log:
+        log(f"prewarm chained track step: {n} programs")
+    return n
+
+
 def prewarm(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
     """Warm the tier grid a long run can hit after its opening frames."""
     n = prewarm_ba(cfg, cam, log=log)
@@ -233,4 +287,5 @@ def prewarm(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
     else:
         n += prewarm_fuse(cfg, log=log)
     n += prewarm_point_solvers(cfg, cam, log=log)
+    n += prewarm_chained(cfg, cam, log=log)
     return n

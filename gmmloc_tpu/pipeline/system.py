@@ -66,6 +66,29 @@ class GMMLocSystem:
             self.online.start()
         self.initialized = False
         self._pending = None  # in-flight FusedPending (pipelined mode)
+        # deep device-chained pipeline (pipeline_depth > 1): FIFO of
+        # in-flight FusedPendings, drained `pipeline_depth` frames late
+        from collections import deque
+
+        self._pendq = deque()
+        tk = cfg.tracking
+        self._depth = max(1, tk.pipeline_depth)
+        if self._depth > 1:
+            # chained mode requires packed IO + kf-cadence map refresh +
+            # the device world mirror (set below)
+            if not (tk.use_fused_track and tk.pipelined_track
+                    and tk.fused_packed_io):
+                self._depth = 1
+            elif tk.fused_map_refresh != "kf":
+                import dataclasses as _dc
+
+                self.cfg = cfg = cfg.replace(
+                    tracking=_dc.replace(tk, fused_map_refresh="kf")
+                )
+                self.tracker.cfg = cfg
+        self.tracker.dev_world = self.localizer.dev_world
+        if self.localizer.dev_world is None:
+            self._depth = 1
         self._last_done = None  # frame the most recent stat belongs to
         self.curr_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
@@ -117,30 +140,37 @@ class GMMLocSystem:
             frame.set_pose(self.curr_frame.q_cw, self.curr_frame.t_cw)
             self.vel_q = self.vel_t = None
         else:
-            # delta = T_curr * T_last^-1 ; init = vel * T_curr
-            # (optionally EMA-smoothed/damped — TrackingConfig)
-            ql_wc, tl_wc = ms._inverse(self.last_frame.q_cw, self.last_frame.t_cw)
-            dq, dt = ms._compose(self.curr_frame.q_cw, self.curr_frame.t_cw, ql_wc, tl_wc)
-            a = self.cfg.tracking.velocity_ema
-            if a < 1.0 and self.vel_q is not None:
-                # nlerp toward the new delta (deltas are small per frame)
-                if np.dot(self.vel_q, dq) < 0:
-                    dq = -dq
-                dq = (1.0 - a) * self.vel_q + a * dq
-                dq /= np.linalg.norm(dq)
-                dt = (1.0 - a) * self.vel_t + a * dt
-            g = self.cfg.tracking.velocity_damping
-            if g < 1.0:
-                dt = dt * g
-                dq = dq.copy()
-                dq[1:] *= g  # shrink rotation toward identity
-                dq /= np.linalg.norm(dq)
-            self.vel_q, self.vel_t = dq.copy(), dt.copy()
+            dq, dt = self._advance_velocity(self.curr_frame, self.last_frame)
             q, t = ms._compose(dq, dt, self.curr_frame.q_cw, self.curr_frame.t_cw)
             frame.set_pose(q, t)
 
         self.last_frame = self.curr_frame
         self.curr_frame = frame
+
+    def _advance_velocity(self, curr: Frame, last: Frame):
+        """Update the EMA/damped constant-velocity state from two solved
+        poses and return the prediction delta (mirrored on device by
+        fused._chain_prep for the chained pipeline)."""
+        # delta = T_curr * T_last^-1 ; init = vel * T_curr
+        # (optionally EMA-smoothed/damped — TrackingConfig)
+        ql_wc, tl_wc = ms._inverse(last.q_cw, last.t_cw)
+        dq, dt = ms._compose(curr.q_cw, curr.t_cw, ql_wc, tl_wc)
+        a = self.cfg.tracking.velocity_ema
+        if a < 1.0 and self.vel_q is not None:
+            # nlerp toward the new delta (deltas are small per frame)
+            if np.dot(self.vel_q, dq) < 0:
+                dq = -dq
+            dq = (1.0 - a) * self.vel_q + a * dq
+            dq /= np.linalg.norm(dq)
+            dt = (1.0 - a) * self.vel_t + a * dt
+        g = self.cfg.tracking.velocity_damping
+        if g < 1.0:
+            dt = dt * g
+            dq = dq.copy()
+            dq[1:] *= g  # shrink rotation toward identity
+            dq /= np.linalg.norm(dq)
+        self.vel_q, self.vel_t = dq.copy(), dt.copy()
+        return dq, dt
 
     # ------------------------------------------------------------------
 
@@ -234,6 +264,8 @@ class GMMLocSystem:
         tk = self.cfg.tracking
         if not (tk.pipelined_track and tk.use_fused_track):
             return self._step_sync(frame, gt_q_wc, gt_t_wc)
+        if self._depth > 1:
+            return self._step_chained(frame, gt_q_wc, gt_t_wc)
         stat_prev = self.drain()
         if self.track_failed:
             return stat_prev
@@ -247,6 +279,109 @@ class GMMLocSystem:
             return self._track_and_map(frame)
         self._pending = pend
         return stat_prev
+
+    # ---------------- deep device-chained pipeline --------------------
+
+    def _step_chained(self, frame: Frame, gt_q_wc=None, gt_t_wc=None):
+        """pipeline_depth-deep variant of step(): frames are dispatched
+        from device-chained state (tracker.fused_dispatch_chained) and
+        drained `pipeline_depth` frames late, hiding the readback RTT
+        behind the dispatch front. The returned stat belongs to the
+        frame drained this call (None while the pipeline fills)."""
+        stat_prev = None
+        if len(self._pendq) >= self._depth:
+            stat_prev = self._drain_one()
+            if self.track_failed:
+                return stat_prev
+        if self.lost or not self.initialized:
+            self._drain_all()
+            if self.track_failed:
+                return stat_prev
+            return self._step_sync(frame, gt_q_wc, gt_t_wc)
+        if self.tracker._chain is None or not self._pendq:
+            # prime: the previous frame must be fully drained so the
+            # host can build the first link's inputs itself
+            st = self._drain_all()
+            stat_prev = st if st is not None else stat_prev
+            if self.track_failed or self.lost or not self.initialized:
+                return stat_prev
+            self.init_pose_guess(frame, gt_q_wc, gt_t_wc)
+            self.tracker.host_vel = (self.vel_q, self.vel_t)
+            pend = self.tracker.fused_dispatch(frame, prime_chain=True)
+            if pend is None:
+                return self._track_and_map(frame)
+            self._pendq.append(pend)
+            return stat_prev
+        pend = self.tracker.fused_dispatch_chained(frame)
+        if pend is None:
+            # chain unavailable (no device world): fall back for good
+            self._depth = 1
+            self._drain_all()
+            return self.step(frame, gt_q_wc, gt_t_wc)
+        self._pendq.append(pend)
+        return stat_prev
+
+    def _drain_one(self) -> Optional[TrackStat]:
+        """Drain the oldest in-flight chained frame: fetch (already
+        landed in steady state), host bookkeeping, KF policy + mapping.
+        Anomalies rewind the remaining in-flight frames onto the
+        synchronous path (their device results assumed a pose chain the
+        anomaly invalidated)."""
+        pend = self._pendq.popleft()
+        stat = self.tracker.fused_complete(pend)
+        # rotate the system frame chain at drain time (poses are final
+        # here; init_pose_guess rotates it on the synchronous paths)
+        self.last_frame = self.curr_frame
+        self.curr_frame = pend.frame
+        if stat is None:
+            # under-match: classic re-run for this frame, then rewind
+            st = self._track_and_map(pend.frame, classic_only=True)
+            self._update_host_vel()
+            return self._rewind_rest(st)
+        st = self._track_and_map(pend.frame, pre_stat=stat)
+        self._update_host_vel()
+        if self.track_failed or self.lost:
+            return self._rewind_rest(st)
+        if self.tracker.dbg.get("coasted"):
+            # the gate replaced the solved pose with the prediction; the
+            # device chain continued from the solved pose — rewind
+            return self._rewind_rest(st)
+        return st
+
+    def _drain_all(self) -> Optional[TrackStat]:
+        st = None
+        while self._pendq:
+            s = self._drain_one()
+            st = s if s is not None else st
+            if self.track_failed:
+                break
+        return st
+
+    def _rewind_rest(self, stat_first) -> Optional[TrackStat]:
+        """Re-run the remaining in-flight frames synchronously: their
+        device results were computed against a chain the just-drained
+        frame invalidated (coast / fallback / loss). Rare (anomaly
+        rate ~ coast rate); costs one synchronous frame each."""
+        frames = [p.frame for p in self._pendq]
+        self._pendq.clear()
+        self.tracker.invalidate_chain()
+        st = stat_first
+        for f in frames:
+            f._dev_cur = None  # host re-pack (pose/assignments reset)
+            f.mappoint[:] = -1
+            f.is_outlier[:] = False
+            s = self.step(f)  # depth branch re-primes via _step_chained
+            st = s if s is not None else st
+            if self.track_failed:
+                break
+        return st
+
+    def _update_host_vel(self) -> None:
+        """Keep the host velocity mirror current from drained poses (the
+        device chain advances its own copy; the host one seeds primes
+        and rewinds)."""
+        if self.last_frame is not None and self.curr_frame is not None:
+            self._advance_velocity(self.curr_frame, self.last_frame)
 
     def drain(self) -> Optional[TrackStat]:
         """Complete the in-flight frame, run its mapping-side work, and
@@ -265,8 +400,10 @@ class GMMLocSystem:
         return self._track_and_map(pend.frame, pre_stat=stat)
 
     def flush(self) -> Optional[TrackStat]:
-        """Drain the last in-flight frame (end of sequence)."""
-        return self.drain()
+        """Drain all in-flight frames (end of sequence)."""
+        st = self.drain()
+        st2 = self._drain_all()
+        return st2 if st2 is not None else st
 
     def _step_sync(self, frame: Frame, gt_q_wc=None, gt_t_wc=None) -> TrackStat:
         if self.lost:

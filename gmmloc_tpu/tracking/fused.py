@@ -387,6 +387,184 @@ def fused_track_step_packed(
     return out
 
 
+# ---------------------------------------------------------------------------
+# device-chained variant: dispatch frame N+1 without draining frame N
+# ---------------------------------------------------------------------------
+#
+# The packed step still forces one host round trip per frame: the host
+# must FETCH frame N's result to build frame N+1's inputs (pose init via
+# the velocity model; the last-frame landmark table from the matched
+# point ids). Through the dev tunnel that readback costs ~45 ms/frame
+# (expr_prof/step_profile_r3_tpu_devworld4.json track/fused_fetch) and
+# is the e2e fps floor. The chained step removes the dependency: it
+# computes ALL of frame N+1's dispatch inputs on device from frame N's
+# (un-fetched) packed output plus the device world mirror —
+#
+#   pose chain: EMA/damped constant-velocity model (system.init_pose_guess)
+#   landmark chain: feat_point -> pid via the dyn/map pid columns, with
+#     positions refreshed from the device world mirror (BA updates)
+#   temporal points: re-synthesized from the last frame's own stereo
+#     depths at its solved pose (tracker._create_temporal_points rule)
+#
+# so the host only uploads the new frame's packed feature table and
+# drains results with a lag of `pipeline_depth` frames — the readback
+# RTT hides behind k dispatches. Results are drained IN ORDER and all
+# host bookkeeping (observation counters, KF policy, mapping) runs at
+# drain time, k frames behind the dispatch front — the same bounded
+# staleness contract as the reference's online tracking/mapping split
+# (gmmloc.cpp:56-59; mapping consumes keyframes asynchronously).
+
+TEMP_PID = -2.0   # dyn pid sentinel: slot holds a synthesized temporal point
+
+
+def _chain_prep(
+    cam: cam_mod.CameraParams,
+    prev_out,        # (10+3F+P [+7],) previous packed output (un-fetched)
+    prev_cur,        # (F, CUR_W) previous frame's feature table
+    prev_dyn,        # (F, DYN_W) previous dispatch's landmark table
+    prev_map_tab,    # (P, MAP_W) map table used at the previous dispatch
+    pose_prev2,      # (7,) pose of frame N-2 (q,t)
+    vel,             # (8,) vel_q(4) vel_t(3) has_vel(1)
+    pt_pos,          # (MP,3) device world mirror
+    pt_valid,        # (MP,)
+    pt_comp,         # (MP,) vetted GMM component per point (-1 none)
+    velocity_ema: float,
+    velocity_damping: float,
+    th_depth: float,
+    temp_cap: int,
+):
+    """Compute frame N+1's dispatch inputs from frame N's output."""
+    F = prev_cur.shape[0]
+    q1, t1 = prev_out[0:4], prev_out[4:7]
+    fp = prev_out[10:10 + F].astype(jnp.int32)
+    fl = prev_out[10 + F:10 + 2 * F] > 0.5
+    outl = prev_out[10 + 2 * F:10 + 3 * F] > 0.5
+
+    # ---- landmark chain (tracker.fused_complete's fp -> pid mapping) --
+    fpc = jnp.clip(fp, 0)
+    src_pid = jnp.where(fl, prev_map_tab[fpc, 10], prev_dyn[fpc, 5])
+    matched = (fp >= 0) & ~outl
+    pid = jnp.where(matched, src_pid, -1.0)
+    pidi = jnp.clip(pid, 0).astype(jnp.int32)
+    real = pid >= 0
+    has_real = matched & real & pt_valid[pidi]
+    pos = pt_pos[pidi]                              # refreshed (BA moves pts)
+
+    # ---- temporal points (tracker._create_temporal_points rule) -------
+    # depth-sorted prefix: process until the first rank where z > th_depth
+    # AND rank+1 > cap; create for slots without a persistent landmark
+    # (the host clears temp matches at cleanup, so p < 0 is the rule)
+    u, v, ur = prev_cur[:, 0], prev_cur[:, 1], prev_cur[:, 2]
+    valid_feat = prev_cur[:, 5] > 0.5
+    disp = u - ur
+    z = jnp.where(
+        (ur >= 0) & (disp > 1e-6) & valid_feat,
+        cam.bf / jnp.clip(disp, 1e-6), -1.0,
+    )
+    zkey = jnp.where(z > 0, z, jnp.inf)
+    order = jnp.argsort(zkey)
+    rank = jnp.zeros(F, jnp.int32).at[order].set(jnp.arange(F, dtype=jnp.int32))
+    zo = zkey[order]
+    n_good = jnp.sum(z > 0)
+    stop = (zo > th_depth) & (jnp.arange(1, F + 1) > temp_cap) & jnp.isfinite(zo)
+    n_proc = jnp.where(jnp.any(stop), jnp.argmax(stop) + 1, n_good)
+    sel_temp = (z > 0) & (rank < n_proc) & ~has_real
+    pc_x = (u - cam.cx) / cam.fx * z
+    pc_y = (v - cam.cy) / cam.fy * z
+    R1 = se3.quat_to_matrix(q1)                     # R_cw
+    pc = jnp.stack([pc_x, pc_y, z], -1) - t1[None, :]
+    temp_pos = pc @ R1                              # R_cw^T (pc - t) = x_w
+
+    dyn = jnp.zeros((F, DYN_W), jnp.float32)
+    dyn = dyn.at[:, 0:3].set(
+        jnp.where(has_real[:, None], pos,
+                  jnp.where(sel_temp[:, None], temp_pos, 0.0))
+    )
+    dyn = dyn.at[:, 3].set((has_real | sel_temp).astype(jnp.float32))
+    dyn = dyn.at[:, 4].set(jnp.where(has_real, pt_comp[pidi], -1.0))
+    dyn = dyn.at[:, 5].set(
+        jnp.where(has_real, pid, jnp.where(sel_temp, TEMP_PID, -1.0))
+    )
+
+    # ---- velocity model + pose prediction (system.init_pose_guess) ----
+    q2, t2 = pose_prev2[0:4], pose_prev2[4:7]
+    ql_wc, tl_wc = se3.inverse(q2, t2)
+    dq, dt = se3.compose(q1, t1, ql_wc, tl_wc)
+    vel_q, vel_t, has_vel = vel[0:4], vel[4:7], vel[7] > 0.5
+    a = velocity_ema
+    use_ema = has_vel if a < 1.0 else jnp.array(False)
+    dq_s = jnp.where(jnp.dot(vel_q, dq) < 0, -dq, dq)
+    dq_e = (1.0 - a) * vel_q + a * dq_s
+    dq_e = dq_e / jnp.linalg.norm(dq_e)
+    dt_e = (1.0 - a) * vel_t + a * dt
+    dq = jnp.where(use_ema, dq_e, dq)
+    dt = jnp.where(use_ema, dt_e, dt)
+    g = velocity_damping
+    if g < 1.0:
+        dt = dt * g
+        dq = dq.at[1:].multiply(g)
+        dq = dq / jnp.linalg.norm(dq)
+    vel_new = jnp.concatenate([dq, dt, jnp.ones(1, jnp.float32)])
+    q0, t0 = se3.compose(dq, dt, q1, t1)
+    return q0, t0, dyn, vel_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "num_levels", "use_anchors",
+        "anchor_lambda2", "anchor_chi2_gate", "anchor_min_edges",
+        "velocity_ema", "velocity_damping", "th_depth", "temp_cap",
+        "motion_radius", "local_radius",
+    ),
+)
+def fused_track_step_chained(
+    cam: cam_mod.CameraParams,
+    prev_out, prev_cur, prev_dyn, prev_map_tab, pose_prev2, vel,
+    pt_pos, pt_valid, pt_comp,
+    cur,             # (F, CUR_W) — the ONLY per-frame upload
+    map_tab,         # (P, MAP_W) current map table (kf-cadence cached)
+    gmm_tab, scale_factors,
+    log_scale_factor: float,
+    num_levels: int,
+    use_anchors: bool = False,
+    anchor_lambda2: float = 400.0,
+    anchor_chi2_gate: float = 2.56,
+    anchor_min_edges: int = 10,
+    velocity_ema: float = 0.5,
+    velocity_damping: float = 1.0,
+    th_depth: float = 35.0,
+    temp_cap: int = 100,
+    motion_radius: float = 7.0,
+    local_radius: float = 3.0,
+):
+    """Chained packed track step. Returns (out_ext, dyn, vel, pose_prev)
+    where out_ext = packed result + [q_pred(4) t_pred(3)], dyn/vel feed
+    the NEXT chained call, and pose_prev = this frame's predecessor pose
+    (the next call's pose_prev2). All four outputs stay device-resident;
+    the host fetches out_ext with a pipeline_depth lag."""
+    q0, t0, dyn, vel_new = _chain_prep(
+        cam, prev_out, prev_cur, prev_dyn, prev_map_tab, pose_prev2, vel,
+        pt_pos, pt_valid, pt_comp,
+        velocity_ema, velocity_damping, th_depth, temp_cap,
+    )
+    scal = jnp.concatenate([
+        q0, t0,
+        jnp.array([motion_radius, local_radius], jnp.float32),
+        jnp.zeros(7, jnp.float32),
+    ])
+    out = fused_track_step_packed(
+        cam, scal, cur, prev_cur, dyn, map_tab, gmm_tab, scale_factors,
+        log_scale_factor, num_levels,
+        use_anchors=use_anchors, map_is_stale=True,
+        anchor_lambda2=anchor_lambda2,
+        anchor_chi2_gate=anchor_chi2_gate,
+        anchor_min_edges=anchor_min_edges,
+    )
+    out_ext = jnp.concatenate([out, q0, t0])
+    return out_ext, dyn, vel_new, prev_out[0:7]
+
+
 def unpack_result(out: "np.ndarray", F: int, P: int):
     """Host-side unpack of fused_track_step_packed's output vector into
     the FusedTrackResult field order (numpy)."""

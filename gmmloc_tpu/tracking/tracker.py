@@ -57,6 +57,9 @@ class FusedPending:
     q_pred: np.ndarray  # constant-velocity prediction (plausibility gate)
     t_pred: np.ndarray
     packed: bool = False  # result is fused_track_step_packed's one vector
+    chained: bool = False  # device-chained dispatch: prediction comes in
+    # the output vector's +7 extension; last-frame prep (updateLastFrame
+    # + temporal points) is deferred to drain time
 
 
 class Tracker:
@@ -89,6 +92,11 @@ class Tracker:
         # next frame's last-frame input (utils/tpuenv transfer profile:
         # ~3 ms/array + ~38 ms/MB through the dev tunnel)
         self._dev: dict = {}
+        # device-chained pipeline state (tracking/fused.py chained step):
+        # refs to the last dispatch's device arrays; None = not primed
+        self._chain: Optional[dict] = None
+        self.dev_world = None       # set by the system (localizer's mirror)
+        self.host_vel = None        # (vel_q, vel_t) set by system at prime
         pyr = world.pyr
         self.scale_factors = pyr["scale_factors"]
         self.sigma2_inv = pyr["sigma2_inv"]
@@ -104,6 +112,7 @@ class Tracker:
         self.local_keyframes = [frame.ref_kf]
 
     def track(self, frame: Frame) -> TrackStat:
+        self.invalidate_chain()  # synchronous frame: device chain is stale
         if self.cfg.tracking.use_fused_track:
             st = self._track_fused(frame)
             if st is not None:
@@ -118,6 +127,7 @@ class Tracker:
         prep (updateLastFrame/temporal points) already ran at dispatch
         time, so skip it instead of allocating duplicate temporal
         landmarks (ADVICE r2 low, system.py drain fallback)."""
+        self.invalidate_chain()
         return self._track_classic(frame, prep=False)
 
     def _track_classic(self, frame: Frame, prep: bool = True) -> TrackStat:
@@ -618,10 +628,15 @@ class Tracker:
             return None
         return self.fused_complete(pend)
 
-    def fused_dispatch(self, frame: Frame):
+    def fused_dispatch(self, frame: Frame, prime_chain: bool = False):
         """Prep + single device dispatch; starts the overlapped readback
         and defers all host bookkeeping to fused_complete. Returns a
-        FusedPending, or None to request the classic path."""
+        FusedPending, or None to request the classic path.
+
+        prime_chain: also record the dispatch's device arrays as the
+        chain state for subsequent fused_dispatch_chained calls (the
+        deep pipeline's host-primed first link)."""
+        self._prime_chain = prime_chain
         w = self.world
         cam = self.cam
         t_prep = Timer("track/fused_prep").start()
@@ -848,11 +863,12 @@ class Tracker:
         cur_dev = jnp.array(self._pack_frame(frame))
         record_uploads(3)  # scal + dyn (below) + cur: the per-frame budget
         frame._dev_cur = cur_dev
+        dyn_dev = jnp.array(dyn)
         t_prep.stop()
         t_disp = Timer("track/fused_enqueue").start()
         out = fused.fused_track_step_packed(
             self.cam,
-            jnp.array(scal), cur_dev, last_dev, jnp.array(dyn),
+            jnp.array(scal), cur_dev, last_dev, dyn_dev,
             map_dev, gmm_tab, scales,
             float(self.log_sf), self.num_levels,
             use_anchors=use_anc, map_is_stale=kf_mode,
@@ -861,9 +877,111 @@ class Tracker:
             anchor_min_edges=int(tk.anchor_min_edges),
         )
         t_disp.stop()
+        if getattr(self, "_prime_chain", False) and kf_mode:
+            # record this dispatch's device state as the chain root: the
+            # next frame can be dispatched WITHOUT draining this one
+            vq, vt = (self.host_vel if self.host_vel is not None
+                      and self.host_vel[0] is not None else (None, None))
+            vel = np.zeros(8, np.float32)
+            if vq is not None:
+                vel[0:4], vel[4:7], vel[7] = vq, vt, 1.0
+            pose_prev = np.zeros(7, np.float32)
+            if last is not None:
+                pose_prev[0:4], pose_prev[4:7] = last.q_cw, last.t_cw
+            self._chain = dict(
+                out=out, cur=cur_dev, dyn=dyn_dev, map_tab=map_dev,
+                lp=lp, n_lp=n_lp,
+                vel=jnp.array(vel), pose_prev=jnp.array(pose_prev),
+            )
+            record_uploads(2)
         return FusedPending(
             frame=frame, fetch=AsyncFetch((out,)), lp=lp, n_lp=n_lp,
             q_pred=frame.q_cw.copy(), t_pred=frame.t_cw.copy(), packed=True,
+        )
+
+    def invalidate_chain(self) -> None:
+        """Drop the device-chained pipeline state (rewind / mode switch)."""
+        self._chain = None
+
+    def fused_dispatch_chained(self, frame: Frame):
+        """Dispatch `frame` from the device-resident chain state: no
+        readback of the previous frame is needed — pose prediction,
+        landmark table and temporal points are computed on device
+        (fused.fused_track_step_chained). The ONLY per-frame transfer is
+        the new frame's packed feature table. Returns a FusedPending
+        (drain with a pipeline_depth lag), or None if the chain is not
+        primed."""
+        ch = self._chain
+        dw = self.dev_world
+        if ch is None or dw is None:
+            return None
+        tk = self.cfg.tracking
+        w = self.world
+        t_prep = Timer("track/chain_prep").start()
+        P = tk.fused_local_map_cap
+
+        # kf-cadence local-map refresh (same token cache as _dispatch_packed)
+        token = w.map_version
+        if self._dev.get("map_token") == token:
+            map_dev = self._dev["map_dev"]
+            lp = self._dev["map_lp"]
+        else:
+            lp = self.local_points
+            lp = lp[w.pt_valid[lp]] if len(lp) else lp
+            lp = lp[:P]
+            n_lp = len(lp)
+            map_tab = np.zeros((P, fused.MAP_W), np.float32)
+            map_tab[:, 9] = -1.0
+            if n_lp:
+                map_tab[:n_lp, 0:3] = w.pt_pos[lp]
+                map_tab[:n_lp, 3:6] = w.pt_normal[lp]
+                map_tab[:n_lp, 6] = w.pt_min_dist[lp]
+                map_tab[:n_lp, 7] = w.pt_max_dist[lp]
+                map_tab[:n_lp, 8] = 1.0
+                map_tab[:n_lp, 9] = self._vetted_comp(lp)
+                map_tab[:n_lp, 10] = lp
+                map_tab[:n_lp, 16:24] = np.ascontiguousarray(
+                    w.pt_desc[lp]
+                ).view(np.float32)
+            map_dev = jnp.array(map_tab)
+            record_uploads()
+            self._dev["map_token"] = token
+            self._dev["map_dev"] = map_dev
+            self._dev["map_lp"] = lp
+
+        gmm_tab, scales = self._dev_static()
+        use_anc = tk.use_gmm_pose_anchor and self.gmm_views is not None
+        cur_dev = jnp.array(self._pack_frame(frame))
+        record_uploads()  # cur: the only per-frame transfer
+        frame._dev_cur = cur_dev
+        t_prep.stop()
+        t_disp = Timer("track/chain_enqueue").start()
+        out_ext, dyn_new, vel_new, pose_prev = fused.fused_track_step_chained(
+            self.cam,
+            ch["out"], ch["cur"], ch["dyn"], ch["map_tab"],
+            ch["pose_prev"], ch["vel"],
+            dw.pt_pos, dw.pt_valid, dw.pt_comp,
+            cur_dev, map_dev, gmm_tab, scales,
+            float(self.log_sf), self.num_levels,
+            use_anchors=use_anc,
+            anchor_lambda2=float(tk.anchor_lambda2),
+            anchor_chi2_gate=float(tk.anchor_chi2_gate),
+            anchor_min_edges=int(tk.anchor_min_edges),
+            velocity_ema=float(tk.velocity_ema),
+            velocity_damping=float(tk.velocity_damping),
+            th_depth=float(self.th_depth),
+            temp_cap=int(tk.temporal_points_cap),
+            motion_radius=float(tk.motion_search_radius),
+            local_radius=float(tk.local_search_radius),
+        )
+        t_disp.stop()
+        self._chain = dict(
+            out=out_ext, cur=cur_dev, dyn=dyn_new, map_tab=map_dev,
+            lp=lp, n_lp=len(lp), vel=vel_new, pose_prev=pose_prev,
+        )
+        return FusedPending(
+            frame=frame, fetch=AsyncFetch((out_ext,)), lp=lp, n_lp=len(lp),
+            q_pred=None, t_pred=None, packed=True, chained=True,
         )
 
     # -------------------------------------------------------------------
@@ -874,11 +992,24 @@ class Tracker:
         classic fallback (too few inliers)."""
         w = self.world
         frame = pend.frame
+        if pend.chained:
+            # the chained dispatch skipped the host-side last-frame prep;
+            # run it now so last.mappoint carries the temporal-point ids
+            # the device synthesized at dispatch (same selection rule —
+            # fused._chain_prep mirrors _create_temporal_points)
+            self._update_last_frame()
+            if not self.last_frame.is_keyframe:
+                self._create_temporal_points()
         last = self.last_frame
         lp, n_lp = pend.lp, pend.n_lp
         t_fetch = Timer("track/fused_fetch").start()
         if pend.packed:
             (out,) = pend.fetch.get()
+            if pend.chained:
+                # +7 extension carries the on-device pose prediction
+                pend.q_pred = out[-7:-3].astype(np.float64)
+                pend.t_pred = out[-3:].astype(np.float64)
+                out = out[:-7]
             rq, rt, fp, fl, r_out, r_ninl, r_nmot, r_inview, r_nanc = (
                 fused.unpack_result(
                     out, frame.feat_cap, self.cfg.tracking.fused_local_map_cap

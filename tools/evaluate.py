@@ -157,6 +157,10 @@ def main():
     ap.add_argument("--pipelined", type=int, default=None,
                     help="override tracking.pipelined_track (deferred "
                          "readback; bit-identical to sync fused mode)")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override tracking.pipeline_depth (>1 = deep "
+                         "device-chained pipeline, drains lag this many "
+                         "frames behind the dispatch front)")
     ap.add_argument("--anchor", type=int, default=None,
                     help="override tracking.use_gmm_pose_anchor")
     ap.add_argument("--ema", type=float, default=None,
@@ -215,6 +219,8 @@ def main():
         tk["use_fused_track"] = bool(args.fused)
     if args.pipelined is not None:
         tk["pipelined_track"] = bool(args.pipelined)
+    if args.depth is not None:
+        tk["pipeline_depth"] = args.depth
     if args.anchor is not None:
         tk["use_gmm_pose_anchor"] = bool(args.anchor)
     if args.ema is not None:
