@@ -100,6 +100,10 @@ class GMMLocSystem:
         self.track_failed = False   # fatal: no recovery path available
         self.lost = False           # recoverable: awaiting relocalization
         self.n_lost = 0             # lifetime count of lost frames
+        # chained-pipeline health counters (tools/step_profile.py)
+        self.n_primes = 0
+        self.n_rewinds = 0
+        self.n_rewound_frames = 0
 
     # ------------------------------------------------------------------
 
@@ -230,7 +234,19 @@ class GMMLocSystem:
                 self.online.interrupt_ba()
             else:
                 self.localizer.abort_ba = True
-            return mapper.count_queue() < cfg.kf_queue_cap
+            if mapper.count_queue() < cfg.kf_queue_cap:
+                return True
+            if self.online is not None and cfg.kf_wait_ms > 0:
+                # bounded back-pressure wait (see TrackingConfig.kf_wait_ms):
+                # preserve KF density when tracking outruns the mapper
+                import time as _time
+
+                deadline = _time.monotonic() + cfg.kf_wait_ms * 1e-3
+                while _time.monotonic() < deadline:
+                    _time.sleep(0.002)
+                    if mapper.count_queue() < cfg.kf_queue_cap:
+                        return True
+            return False
         return False
 
     # ------------------------------------------------------------------
@@ -307,6 +323,7 @@ class GMMLocSystem:
                 return stat_prev
             self.init_pose_guess(frame, gt_q_wc, gt_t_wc)
             self.tracker.host_vel = (self.vel_q, self.vel_t)
+            self.n_primes += 1
             pend = self.tracker.fused_dispatch(frame, prime_chain=True)
             if pend is None:
                 return self._track_and_map(frame)
@@ -365,6 +382,8 @@ class GMMLocSystem:
         frames = [p.frame for p in self._pendq]
         self._pendq.clear()
         self.tracker.invalidate_chain()
+        self.n_rewinds += 1
+        self.n_rewound_frames += len(frames)
         st = stat_first
         for f in frames:
             f._dev_cur = None  # host re-pack (pose/assignments reset)

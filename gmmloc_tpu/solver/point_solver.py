@@ -32,8 +32,14 @@ from . import factors
 
 
 def _solve3(H, b, damping=1e-8):
+    # closed-form adjugate inverse: batched jnp.linalg.solve lowers to a
+    # serialized LU loop on TPU (measured: it dominated these GN solves —
+    # same finding as local_ba._inv3)
+    from .local_ba import _inv3
+
     H = H + jnp.eye(3, dtype=H.dtype) * damping
-    return jnp.linalg.solve(H, b[..., None])[..., 0]
+    Hinv, _ = _inv3(H)
+    return jnp.einsum("...ij,...j->...i", Hinv, b)
 
 
 class PointOptResult(NamedTuple):

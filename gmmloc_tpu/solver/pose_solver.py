@@ -37,6 +37,38 @@ CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 
 
+def _chol_solve6(H, b):
+    """Unrolled 6x6 Cholesky solve. jnp.linalg.solve lowers to a
+    serialized pivoting LU on TPU (measured: it dominated the chained GN
+    iterations — same finding as local_ba._inv3 / point_solver._solve3);
+    the damped normal matrix here is SPD, so 36 static scalar ops that
+    XLA fuses into one kernel do the job."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = H[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for j in range(i + 1, 6):
+            s2 = H[j, i]
+            for k in range(i):
+                s2 = s2 - L[j][k] * L[i][k]
+            L[j][i] = s2 / L[i][i]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _edge_terms(cam, q, t, x_w, obs_uvr, is_stereo, sigma2_inv, weight_extra):
     """Residual, pose-Jacobian, chi2 for all edges in one pass."""
     r, pc, _ = factors.reproj_residual(cam, q, t, x_w, obs_uvr, is_stereo)
@@ -107,7 +139,7 @@ def optimize_pose(
             H = jnp.einsum("nij,n,nik->jk", J, w, J)
             b = jnp.einsum("nij,n,ni->j", J, w, r)
             H = H + jnp.eye(6, dtype=H.dtype) * 1e-6  # mild LM damping
-            dx = -jnp.linalg.solve(H, b)
+            dx = -_chol_solve6(H, b)
             q_n, t_n = se3.boxplus(q_i, t_i, dx)
             # reject a diverged step (singular H / NaN residuals): keep the
             # previous estimate rather than poisoning the remaining iters
@@ -254,7 +286,7 @@ def optimize_pose_anchored(
             _, Ha, ba = anchor_terms(q_i, t_i, active_anc, use_huber)
             H = H + Ha + jnp.eye(6, dtype=H.dtype) * 1e-6
             b = b + ba
-            dx = -jnp.linalg.solve(H, b)
+            dx = -_chol_solve6(H, b)
             q_n, t_n = se3.boxplus(q_i, t_i, dx)
             ok = jnp.all(jnp.isfinite(q_n)) & jnp.all(jnp.isfinite(t_n))
             q_n = jnp.where(ok, q_n, q_i)

@@ -161,6 +161,10 @@ def main():
                     help="override tracking.pipeline_depth (>1 = deep "
                          "device-chained pipeline, drains lag this many "
                          "frames behind the dispatch front)")
+    ap.add_argument("--qcap", type=int, default=None,
+                    help="override tracking.kf_queue_cap (online mode: "
+                         "KF requests drop when the mapping queue holds "
+                         "this many)")
     ap.add_argument("--anchor", type=int, default=None,
                     help="override tracking.use_gmm_pose_anchor")
     ap.add_argument("--ema", type=float, default=None,
@@ -221,6 +225,8 @@ def main():
         tk["pipelined_track"] = bool(args.pipelined)
     if args.depth is not None:
         tk["pipeline_depth"] = args.depth
+    if args.qcap is not None:
+        tk["kf_queue_cap"] = args.qcap
     if args.anchor is not None:
         tk["use_gmm_pose_anchor"] = bool(args.anchor)
     if args.ema is not None:

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--out", default="expr_prof/step_profile.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipelined", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None)
+    ap.add_argument("--online", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,7 +69,11 @@ def main():
     tk = dict(velocity_damping=0.9)
     if args.pipelined is not None:
         tk["pipelined_track"] = bool(args.pipelined)
+    if args.depth is not None:
+        tk["pipeline_depth"] = args.depth
     cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
+    if args.online:
+        cfg = cfg.replace(online=True)
 
     gmap = mixture.load(
         synthetic.V1_GMM, pad_to=cfg.caps.gmm_components_pad,
@@ -115,6 +121,7 @@ def main():
             break
     sys_.flush()
     wall = time.perf_counter() - t_meas0
+    sys_.stop()
     n_done = len(per_frame)
     kfs = sys_.world.n_keyframes() - kf_before
 
@@ -141,8 +148,15 @@ def main():
         "config": {
             "pipelined": cfg.tracking.pipelined_track,
             "packed_io": cfg.tracking.fused_packed_io,
-            "map_refresh": cfg.tracking.fused_map_refresh,
+            "map_refresh": sys_.cfg.tracking.fused_map_refresh,
+            "pipeline_depth": sys_._depth,
+            "online": cfg.online,
             "seq": args.seq,
+        },
+        "chain_health": {
+            "primes": sys_.n_primes,
+            "rewinds": sys_.n_rewinds,
+            "rewound_frames": sys_.n_rewound_frames,
         },
         "device": str(jax.devices()[0]),
         "frames_measured": n_done,
