@@ -171,13 +171,12 @@ class TrackingConfig:
     # Online mode: when a keyframe is wanted but the mapping queue is
     # full, wait up to this long for the mapper to drain before giving
     # up (0 = drop immediately, the reference's behavior at
-    # gmmloc.cpp:361 — sound at 20 Hz camera rate where mapping keeps
-    # up, but at 3x-reference tracking throughput immediate drops
-    # starve the map: measured 600-frame V1_01 online runs lose 0.2 cm
-    # ATE with 5-7 KFs vs 30 offline). A bounded wait preserves KF
-    # density at the cost of brief stalls — tracked fps then reports
-    # the honest accuracy-preserving operating point.
-    kf_wait_ms: float = 250.0
+    # gmmloc.cpp:361). Measured on 600-frame V1_01 online runs (r4):
+    # waiting (250 ms) yields MORE keyframes (17-20 vs 5-7) but WORSE
+    # ATE (0.48 vs 0.39 cm) and 4x lower fps — each queued KF is
+    # processed seconds later, so denser-but-staler mapping loses to
+    # sparser-but-fresher. Default 0 = reference drop behavior.
+    kf_wait_ms: float = 0.0
     # Use the fused single-dispatch track-step megakernel (tracking/fused.py)
     # instead of the multi-call host-orchestrated path. Same algorithm;
     # the local-map snapshot is one frame stale (bounded staleness).

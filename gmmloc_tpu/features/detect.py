@@ -59,6 +59,12 @@ class ORBDetector:
 
     def _detect_impl(self, img):
         levels = pyramid.build_pyramid(img, self.shapes)
+        return self.detect_from_levels(levels)
+
+    def detect_from_levels(self, levels):
+        """Detection given a prebuilt pyramid (lets a caller share ONE
+        pyramid between detection and stereo refinement inside a single
+        fused jit — frontend.process_packed)."""
         uvs, octs, angs, resps, descs, valids = [], [], [], [], [], []
         for l, lvl_img in enumerate(levels):
             if self.use_pallas_fast:

@@ -88,6 +88,7 @@ class DeviceWorld:
         # chained track step's on-device landmark-table construction
         self.pt_comp = jnp.full(MP, -1.0, jnp.float32)
         self.n_syncs = 0
+        self._synced_version = -1
 
     # ------------------------------------------------------------------
 
@@ -127,6 +128,17 @@ class DeviceWorld:
         from ..utils.fetch import record_uploads
 
         w = self.w
+        if (
+            not w.dirty_kf and not w.dirty_pt
+            and self._synced_version == w.map_version
+        ):
+            # nothing changed since the last sync: skip the wholesale
+            # pose/validity/comp re-uploads too (every in-place pose or
+            # association write bumps map_version — BA write-back, loop
+            # closing; measured ~0.4 MB + a blocking barrier per no-op
+            # sync across the 2-4 sync sites per keyframe)
+            return
+        self._synced_version = w.map_version
         n_up = 0
         did_kf = bool(w.dirty_kf)
         did_pt = bool(w.dirty_pt)

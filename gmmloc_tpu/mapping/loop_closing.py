@@ -189,5 +189,7 @@ class LoopCloser:
             # x_cam = R_old x + t_old ; x' = R_new^T (x_cam - t_new)
             x_cam = w.pt_pos[sel] @ R_old.T + old_t[k]
             w.pt_pos[sel] = (x_cam - w.kf_t[k]) @ R_new
+            w.dirty_pt.update(sel.tolist())
+        w.map_version += 1  # poses/points moved in place (cache tokens)
         self.closures.append((kf, cand))
         return True
