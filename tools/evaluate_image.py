@@ -37,7 +37,8 @@ from gmmloc_tpu.pipeline.system import GMMLocSystem
 from gmmloc_tpu.utils import proto
 
 
-def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None):
+def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None,
+             packed=True):
     gmm_path = synthetic.V2_GMM if seq.startswith("V2") else synthetic.V1_GMM
     ts, q_wc, t_wc = synthetic.load_gt_trajectory(
         f"{synthetic.GT_DIR}/{seq}.txt"
@@ -63,10 +64,35 @@ def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None):
         )
     t0 = time.time()
     done = 0
-    for i in range(N):
-        fi = start + i
-        left, right = imgs[i]
-        frame = frontend.process(i, ts[fi], left, right)
+    use_packed = packed
+    pend = None
+    i_prev = -1
+    for i in range(N + 1):
+        # double-buffered front-end: frame i's fused detect/stereo
+        # program runs on device while the tracker steps frame i-1
+        # (the reference overlaps its two extractor threads with the
+        # main loop the same way, gmmloc.cpp:241-249)
+        if i < N and use_packed:
+            fi = start + i
+            left, right = imgs[i]
+            pend_new = frontend.dispatch(i, ts[fi], left, right)
+        else:
+            pend_new = None
+        if use_packed:
+            if pend is None:
+                pend, i_prev = pend_new, i
+                continue
+            frame = frontend.complete(pend)
+            step_i = i_prev
+            pend, i_prev = pend_new, i
+        else:
+            if i >= N:
+                break
+            fi = start + i
+            left, right = imgs[i]
+            frame = frontend.process(i, ts[fi], left, right)
+            step_i = i
+        fi = start + step_i
         sys_.step(frame, q_wc[fi], t_wc[fi])
         if sys_.track_failed:
             break
@@ -74,6 +100,7 @@ def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None):
         if done % 100 == 0:
             print(f"  [{seq} r{run_idx}] {done}/{N} frames "
                   f"({done/(time.time()-t0):.1f} fps)", flush=True)
+    sys_.flush()
     wall = time.time() - t0
     sys_.stop()
     ts_est, q_est, t_est = sys_.export_trajectory()
@@ -106,6 +133,12 @@ def main():
                          "(the reference's behavior is tracking.cpp:35-116 "
                          "alone)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--packed", type=int, default=1,
+                    help="1: fused single-dispatch front-end, double-"
+                         "buffered against the tracker (production); "
+                         "0: per-stage path")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override tracking.pipeline_depth")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -122,6 +155,8 @@ def main():
             velocity_damping=1.0, velocity_ema=1.0,
             use_gmm_pose_anchor=False, max_jump_trans=1e9,
         )
+    if args.depth is not None:
+        tk["pipeline_depth"] = args.depth
     cfg = cfg.replace(
         camera=dataclasses.replace(
             cfg.camera, do_rectify=False, do_equalization=False
@@ -142,7 +177,8 @@ def main():
         for r in range(args.runs):
             m = run_once(cfg, seq, r, args.frames, args.start,
                          gmaps[gmm_path],
-                         os.path.join(args.out, f"{seq}{r}.txt"))
+                         os.path.join(args.out, f"{seq}{r}.txt"),
+                         packed=bool(args.packed))
             runs.append(m)
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm "

@@ -58,7 +58,9 @@ def main():
     for i in range(n_frames):
         fi = start + i
         left, right = renderer.render_stereo(q_wc[fi], t_wc[fi])
-        frame = frontend.process(i, ts[fi], left, right)
+        left = np.clip(np.round(left), 0, 255).astype(np.uint8)
+        right = np.clip(np.round(right), 0, 255).astype(np.uint8)
+        frame = frontend.process_packed(i, ts[fi], left, right)
         n_depth = int((frame.depth > 0).sum())
         # pipelined default: stat belongs to the PREVIOUS frame (None
         # while the first is in flight); final poses land at drain time
