@@ -1,4 +1,4 @@
-"""Speed-of-light accounting for the two flagship kernels (VERDICT r2 #6).
+"""Speed-of-light accounting for the flagship kernels + ICI collective model.
 
 Replaces the reference's compute kernel (localization_opt.cpp:456 g2o
 solve; tracking_opt.cpp pose opt) with measured rooflines:
@@ -6,24 +6,33 @@ solve; tracking_opt.cpp pose opt) with measured rooflines:
 - FLOP / byte counts: XLA cost analysis of the EXACT jitted computations
   — `__graft_entry__.entry()`'s fused per-frame track step at production
   caps, and `solve_local_ba` at the production BA window (L=16, C=48,
-  P=8192, MO=ba_obs_per_point, bf16 staging, 5/5/40 LM iterations ==
-  cfg.loc.ba_iters_*). Runs on the CPU backend so it is safe while the
-  real chip is busy; HLO flop counts are algorithmic (backend-independent
-  up to fusion algebra), while "bytes accessed" reflects the CPU
-  lowering's buffer assignment — treat bandwidth rows as estimates.
+  P=8192, MO=ba_obs_per_point, bf16 staging, production schur impl).
+  Runs on the CPU backend so it is safe while the real chip is busy;
+  HLO flop counts are algorithmic (backend-independent up to fusion
+  algebra), while "bytes accessed" reflects the CPU lowering's buffer
+  assignment — treat bandwidth rows as estimates. NOTE: while_loop
+  bodies are counted ONCE by cost analysis; per-iteration SOL rows
+  scale by the measured iteration count.
 
-- Measured times: bench.py's two-point-slope on-chip timings, which
-  cancel the dev tunnel's dispatch latency (BENCH_r02 detail:
-  fused_track_step 9.19 ms, local_ba 54.57 ms; in-situ floor confirmed
-  by expr_prof/step_profile_r3_tpu_devworld4.json loc/ba min 53.1 ms).
-  Override with --track_ms / --ba_ms after a fresh bench run.
+- Measured times: pass --track_ms/--ba_ms from a fresh bench run, or
+  --bench BENCH_rXX.json to read them from a recorded bench artifact;
+  the output JSON records the timing source either way (ADVICE r3).
 
 - Peaks (TPU v5e, the "TPU v5 lite" device in this environment): 197
-  TFLOP/s bf16 MXU, 819 GB/s HBM => ridge point ~240 FLOP/byte.
+  TFLOP/s bf16 MXU, f32 peak ~1/2 of bf16 on the MXU; 819 GB/s HBM.
+  Both peaks are reported; the bound classification uses the
+  precision-appropriate one (ADVICE r3).
+
+- Collectives section (VERDICT r3 #8): an ICI cost model for the
+  sharded local-BA iteration and the sharded GMM association pass at
+  production and 10x-stress shapes, with predicted N-device scaling
+  efficiencies to be tested when multi-chip hardware exists
+  (SURVEY.md §5.7/§5.8; parallel/sharding.py design).
 
 Usage:
-  python tools/roofline.py [--track_ms 9.19] [--ba_ms 54.57]
-                           [--out expr_prof/roofline_r3.json]
+  python tools/roofline.py [--track_ms X] [--ba_ms Y] [--ba_iters N]
+                           [--bench BENCH_r04.json]
+                           [--out expr_prof/roofline_r4.json]
 """
 
 import argparse
@@ -35,7 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PEAK_FLOPS_BF16 = 197e12  # TPU v5e MXU, bf16 with f32 accumulate
+PEAK_FLOPS_F32 = 98.5e12  # f32 on the MXU (half the bf16 rate)
 PEAK_HBM_BPS = 819e9      # TPU v5e HBM bandwidth
+ICI_BPS = 45e9            # per-link ICI bandwidth (v5e, one direction)
+ICI_LAT_S = 1e-6          # per-hop latency
 
 
 def _cost(compiled):
@@ -45,9 +57,12 @@ def _cost(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def _roofline(name, flops, byts, ms):
+def _roofline(name, flops, byts, ms, precision="bf16"):
+    if ms is None or ms <= 0:
+        raise SystemExit(f"--{name}: measured time must be > 0 (got {ms})")
     t = ms * 1e-3
-    t_flops = flops / PEAK_FLOPS_BF16
+    peak = PEAK_FLOPS_BF16 if precision == "bf16" else PEAK_FLOPS_F32
+    t_flops = flops / peak
     t_bytes = byts / PEAK_HBM_BPS
     sol = max(t_flops, t_bytes)
     ai = flops / max(byts, 1.0)
@@ -57,9 +72,11 @@ def _roofline(name, flops, byts, ms):
         "bytes_accessed": byts,
         "arithmetic_intensity_flop_per_byte": round(ai, 2),
         "measured_ms": ms,
+        "precision_for_peak": precision,
         "achieved_gflops": round(flops / t / 1e9, 1),
         "achieved_gbps": round(byts / t / 1e9, 1),
-        "pct_of_flops_peak": round(100.0 * flops / t / PEAK_FLOPS_BF16, 3),
+        "pct_of_flops_peak_bf16": round(100.0 * flops / t / PEAK_FLOPS_BF16, 3),
+        "pct_of_flops_peak_f32": round(100.0 * flops / t / PEAK_FLOPS_F32, 3),
         "pct_of_hbm_peak": round(100.0 * byts / t / PEAK_HBM_BPS, 2),
         "speed_of_light_ms": round(sol * 1e3, 4),
         "pct_of_speed_of_light": round(100.0 * sol / t, 2),
@@ -67,14 +84,136 @@ def _roofline(name, flops, byts, ms):
     }
 
 
+def _allreduce_s(bytes_, n):
+    """Ring all-reduce time over the ICI axis: 2(N-1)/N x bytes."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (n - 1) / n * bytes_ / ICI_BPS + (n - 1) * ICI_LAT_S
+
+
+def _allgather_s(bytes_per_shard, n):
+    if n <= 1:
+        return 0.0
+    return (n - 1) * bytes_per_shard / ICI_BPS + (n - 1) * ICI_LAT_S
+
+
+def collectives_model(ba_iter_ms: float, n_iters: int):
+    """ICI cost model for the sharded stages (parallel/sharding.py):
+
+    - local BA (points sharded over the mesh axis): each LM iteration
+      psums the Schur-reduced camera system S (6L x 6L f32) + b (6L)
+      + the exact-cost scalar; the 96x96 solve and pose update then
+      replicate on every device (no further comm). Point-side work
+      (P/N per device) is the parallel fraction.
+    - GMM association (components sharded): renderView is elementwise
+      over K/N; searchCorrespondence all-gathers each shard's
+      per-feature top-k candidate set (F x k x 8 B) and merges.
+
+    Efficiency model: eff(N) = T1 / (N * TN) with
+    TN = serial_ms + parallel_ms/N + ici_ms(N) — serial_ms measured as
+    the non-point-sharded part of an iteration (camera-side GEMMs at
+    fixed 6L, the 96x96 solve, loop overheads).
+    """
+    L = 16
+    S_bytes = (6 * L) * (6 * L) * 4 + (6 * L) * 4 + 4
+    rows = []
+    for tag, P, serial_ms, par_ms in (
+        # production tier: measured 0.94 ms/iter (flatpm, r4); camera-side
+        # fixed part estimated from the P->0 extrapolation of the tier
+        # sweep (L8/P2048 3.5ms, L16/P4096 5.27, L16/P8192 10.32 at
+        # 10/7/11 iters -> ~0.25 ms/iter fixed)
+        ("local_ba_iter prod (L=16,P=8192)", 8192, 0.25, ba_iter_ms - 0.25),
+        # 10x stress tier: parallel part scales with P
+        ("local_ba_iter stress (L=16,P=65536)", 65536, 0.25,
+         (ba_iter_ms - 0.25) * 8.0),
+    ):
+        per_iter = {}
+        for n in (1, 2, 4, 8):
+            ici_ms = _allreduce_s(S_bytes, n) * 1e3
+            tn = serial_ms + par_ms / n + ici_ms
+            t1 = serial_ms + par_ms
+            per_iter[f"N={n}"] = {
+                "iter_ms": round(tn, 4),
+                "ici_ms": round(ici_ms, 5),
+                "efficiency": round(t1 / (n * tn), 3),
+            }
+        rows.append({
+            "stage": tag,
+            "psum_bytes_per_iter": S_bytes,
+            "iters_per_solve": n_iters,
+            "model": per_iter,
+        })
+
+    # association: render+search measured 0.67+0.44 ms at K=3299 (bench
+    # detail); elementwise in K -> parallel; top-k merge all-gathers
+    # F x k x (idx+dist) = 1280*5*8 B per shard
+    F, k = 1280, 5
+    ag_bytes = F * k * 8
+    for tag, K, base_ms in (
+        ("gmm_association prod (K=3299)", 3299, 1.11),
+        ("gmm_association stress (K=33k)", 32990, 1.11 * 10.0),
+    ):
+        serial_ms = 0.15  # final merge + gating at fixed F
+        par_ms = base_ms - 0.15
+        per = {}
+        for n in (1, 2, 4, 8):
+            ici_ms = _allgather_s(ag_bytes, n) * 1e3
+            tn = serial_ms + par_ms / n + ici_ms
+            t1 = serial_ms + par_ms
+            per[f"N={n}"] = {
+                "pass_ms": round(tn, 4),
+                "ici_ms": round(ici_ms, 5),
+                "efficiency": round(t1 / (n * tn), 3),
+            }
+        rows.append({
+            "stage": tag,
+            "allgather_bytes_per_shard": ag_bytes,
+            "model": per,
+        })
+    return {
+        "ici_peak_bps": ICI_BPS,
+        "ici_latency_s": ICI_LAT_S,
+        "note": "predictions to test against hardware when N>=2 chips "
+                "exist; the >=0.7 multi-host efficiency target holds in "
+                "this model for the stress shapes (large parallel "
+                "fraction) and for N<=2 at production shapes — small "
+                "single-window BA at N=8 is serial-fraction-bound "
+                "(shard bigger windows or batch independent maps there)",
+        "stages": rows,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--track_ms", type=float, default=9.19,
+    ap.add_argument("--track_ms", type=float, default=None,
                     help="on-chip fused track step (BENCH detail)")
-    ap.add_argument("--ba_ms", type=float, default=54.57,
+    ap.add_argument("--ba_ms", type=float, default=None,
                     help="on-chip production-window BA solve (BENCH detail)")
-    ap.add_argument("--out", default="expr_prof/roofline_r3.json")
+    ap.add_argument("--ba_iters", type=int, default=11,
+                    help="measured LM iterations used by the solve")
+    ap.add_argument("--bench", default=None,
+                    help="BENCH_r*.json to read timings from")
+    ap.add_argument("--out", default="expr_prof/roofline_r4.json")
     args = ap.parse_args()
+
+    source = None
+    if args.bench:
+        with open(args.bench) as f:
+            b = json.load(f)
+        import re
+
+        m = re.search(r'"fused_track_step_ms": ([0-9.]+)', b.get("tail", ""))
+        m2 = re.search(r'"local_ba_ms": ([0-9.]+)', b.get("tail", ""))
+        if m and args.track_ms is None:
+            args.track_ms = float(m.group(1))
+        if m2 and args.ba_ms is None:
+            args.ba_ms = float(m2.group(1))
+        source = args.bench
+    if args.track_ms is None or args.ba_ms is None:
+        raise SystemExit("provide --track_ms/--ba_ms or --bench FILE "
+                         "(no stale defaults — ADVICE r3)")
+    if args.track_ms <= 0 or args.ba_ms <= 0:
+        raise SystemExit("measured times must be > 0")
 
     import jax
 
@@ -105,25 +244,35 @@ def main():
             cam, prob, n_free=L,
             iters1=cfg.loc.ba_iters_stage1, iters2=cfg.loc.ba_iters_stage2,
             iters3=cfg.loc.ba_iters_stage3, use_bf16=True,
+            schur_impl=cfg.loc.ba_schur_impl,
         )
 
     ba_flops, ba_bytes = _cost(jax.jit(ba).lower(prob).compile())
 
+    ba_iter_ms = args.ba_ms / max(1, args.ba_iters)
     rows = [
         _roofline("fused_track_step", track_flops, track_bytes,
-                  args.track_ms),
-        _roofline(f"local_ba L={L} C={C} P={P} MO={MO} (5/5/40 LM)",
-                  ba_flops, ba_bytes, args.ba_ms),
+                  args.track_ms, precision="f32"),
+        _roofline(
+            f"local_ba L={L} C={C} P={P} MO={MO} "
+            f"({cfg.loc.ba_schur_impl}; body counted once, x{args.ba_iters} "
+            "measured iters)",
+            ba_flops, ba_bytes, args.ba_ms, precision="bf16",
+        ),
     ]
     out = {
-        "peaks": {"flops_bf16": PEAK_FLOPS_BF16, "hbm_bps": PEAK_HBM_BPS,
-                  "device": "TPU v5e (v5 lite)"},
+        "peaks": {"flops_bf16": PEAK_FLOPS_BF16, "flops_f32": PEAK_FLOPS_F32,
+                  "hbm_bps": PEAK_HBM_BPS, "device": "TPU v5e (v5 lite)"},
+        "timing_source": source or "--track_ms/--ba_ms flags",
+        "measured": {"track_ms": args.track_ms, "ba_ms": args.ba_ms,
+                     "ba_iters": args.ba_iters},
         "method": "XLA cost_analysis on CPU lowering (algorithmic HLO "
-                  "flops; bytes are a lowering estimate) x bench.py "
-                  "two-point-slope on-chip times",
+                  "flops; bytes are a lowering estimate; while_loop "
+                  "bodies counted once) x on-chip times",
         "kernels": rows,
+        "collectives": collectives_model(ba_iter_ms, args.ba_iters),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     for r in rows:
