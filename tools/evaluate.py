@@ -57,7 +57,7 @@ def _sequence_vocab(seq, fe):
 
 
 def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
-             out_path=None, vocabulary=None):
+             out_path=None, vocabulary=None, pace_hz: float = 0.0):
     gt_path = f"{synthetic.GT_DIR}/{seq}.txt"
     fe, ts, q_wc, t_wc = synthetic.make_sequence(
         cfg, gt_path=gt_path,
@@ -95,6 +95,14 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
         ctl.consume_step()
         if ctl.stop:
             break
+        if pace_hz > 0:
+            # camera-rate pacing (ref gmmloc.cpp:124 ros::Rate(20)):
+            # frame i is not AVAILABLE before i/pace_hz; the mapping
+            # thread consumes the slack
+            t_due = t0 + i / pace_hz
+            now = time.time()
+            if now < t_due:
+                time.sleep(t_due - now)
         fi = start + i
         st = sys_.step(frames[i], q_wc[fi], t_wc[fi])
         if sys_.track_failed:
@@ -161,6 +169,12 @@ def main():
                     help="override tracking.pipeline_depth (>1 = deep "
                          "device-chained pipeline, drains lag this many "
                          "frames behind the dispatch front)")
+    ap.add_argument("--pace", type=float, default=0.0,
+                    help="pace the frame loop at this camera rate in Hz "
+                         "(0 = free-running). The reference's online mode "
+                         "runs at ros::Rate(20) (gmmloc.cpp:124): frames "
+                         "arrive at 20 Hz and the mapping thread uses the "
+                         "slack between frames")
     ap.add_argument("--qcap", type=int, default=None,
                     help="override tracking.kf_queue_cap (online mode: "
                          "KF requests drop when the mapping queue holds "
@@ -257,7 +271,8 @@ def main():
             out_path = os.path.join(args.out, f"{seq}{r}.txt")
             m = run_once(cfg, seq, r, args.frames, args.start,
                          gmaps[gmm_path], out_path,
-                         vocabulary="train" if args.reloc else None)
+                         vocabulary="train" if args.reloc else None,
+                         pace_hz=args.pace)
             runs.append(m)
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm mean={m['mean']*100:.2f}cm "

@@ -89,8 +89,112 @@ def timeit(fn, *args, warmup=2, iters=10, iters_lo=2, wrap_jit=True):
     return max((t_hi - t_lo) / max(1, iters - iters_lo), 1e-7)
 
 
+def reloc_under_stress(factor: int, seed: int = 0):
+    """Relocalization on the 10x-dense map (BASELINE config #4's second
+    half): map a stretch of V1_01, blackout-teleport back into mapped
+    territory, require BoW place recognition to re-anchor — with the
+    full system running against the densified prior map. Reports
+    association cost per KF at stress scale + post-recovery error."""
+    import dataclasses
+
+    from gmmloc_tpu.eval import synthetic
+    from gmmloc_tpu.pipeline.system import GMMLocSystem
+    from gmmloc_tpu.utils import timing as timing_mod
+    from gmmloc_tpu.vocab.bow import Vocabulary
+
+    cfg = euroc_v1_config()
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, velocity_damping=0.9)
+    )
+    means, covs, _, _ = proto.load_gmm_file(
+        "/root/reference/gmmloc_ros/data/map/v1.gmm"
+    )
+    means, covs = densify(means, covs, factor, seed=seed)
+    K = len(means)
+    pad = ((K + 255) // 256) * 256
+    cfg = cfg.replace(caps=dataclasses.replace(cfg.caps, gmm_components_pad=pad))
+    t0 = time.time()
+    gmap = mixture.from_arrays(
+        means, covs, pad_to=pad, neighbor_cap=cfg.gmm.neighbor_cap,
+        neighbor_dist_thresh=cfg.gmm.neighbor_dist_thresh,
+    )
+    t_build = time.time() - t0
+    print(f"[reloc-stress] map build K={K}: {t_build:.1f}s", flush=True)
+
+    fe, ts, q_wc, t_wc = synthetic.make_sequence(
+        cfg, n_frames=500, stride=1, n_landmarks=30000,
+        gmm_path="/root/reference/gmmloc_ros/data/map/v1.gmm",
+        disp_noise=0.1, pixel_noise=0.25, drop_frac=0.1, seed=seed,
+    )
+    voc = Vocabulary.train(fe.world.desc[::4], k=10, depth=3, seed=0)
+    s = GMMLocSystem(cfg, gmap, vocabulary=voc)
+    timing_mod.reset()
+
+    START, MAPPED, BLACK, RETURN = 150, 90, 5, 10
+    step = 0
+    t_run0 = time.time()
+    for i in range(MAPPED):
+        fi = START + i
+        f = fe.make_frame(step, ts[fi], q_wc[fi], t_wc[fi])
+        s.step(f, q_wc[fi], t_wc[fi])
+        step += 1
+        assert not s.track_failed
+    saved = fe.drop_frac
+    fe.drop_frac = 1.0
+    for _ in range(BLACK):
+        fi = START + RETURN
+        f = fe.make_frame(step, ts[fi], q_wc[fi], t_wc[fi])
+        s.step(f, q_wc[fi], t_wc[fi])
+        step += 1
+    fe.drop_frac = saved
+    went_lost = s.lost or s.n_lost > 0
+    errs_after = []
+    for j in range(40):
+        fi = START + RETURN + j
+        f = fe.make_frame(step, ts[fi], q_wc[fi], t_wc[fi])
+        st = s.step(f, q_wc[fi], t_wc[fi])
+        step += 1
+        if s.track_failed:
+            break
+        if st is not None and st.res and not s.lost:
+            R = np.array([
+                [1 - 2 * (f.q_cw[2] ** 2 + f.q_cw[3] ** 2),
+                 2 * (f.q_cw[1] * f.q_cw[2] - f.q_cw[0] * f.q_cw[3]),
+                 2 * (f.q_cw[1] * f.q_cw[3] + f.q_cw[0] * f.q_cw[2])],
+                [2 * (f.q_cw[1] * f.q_cw[2] + f.q_cw[0] * f.q_cw[3]),
+                 1 - 2 * (f.q_cw[1] ** 2 + f.q_cw[3] ** 2),
+                 2 * (f.q_cw[2] * f.q_cw[3] - f.q_cw[0] * f.q_cw[1])],
+                [2 * (f.q_cw[1] * f.q_cw[3] - f.q_cw[0] * f.q_cw[2]),
+                 2 * (f.q_cw[2] * f.q_cw[3] + f.q_cw[0] * f.q_cw[1]),
+                 1 - 2 * (f.q_cw[1] ** 2 + f.q_cw[2] ** 2)],
+            ])
+            errs_after.append(np.linalg.norm(-R.T @ f.t_cw - t_wc[fi]))
+    s.flush()
+    s.stop()
+    wall = time.time() - t_run0
+    kf_assoc_ms = {}
+    with timing_mod.REGISTRY.lock:
+        for tag in ("loc/render_view", "map/search_corr", "kf/point_opt"):
+            a = timing_mod.REGISTRY.accs.get(tag)
+            if a is not None and a.count:
+                kf_assoc_ms[tag] = round(a.mean() * 1e3, 2)
+    med = float(np.median(errs_after)) if errs_after else float("nan")
+    out = {
+        "K": K, "map_build_s": round(t_build, 1),
+        "frames": step, "wall_s": round(wall, 1),
+        "kfs": int(s.world.n_keyframes()),
+        "went_lost": bool(went_lost),
+        "relocalized": bool(not s.lost and len(errs_after) > 0),
+        "post_recovery_median_err_m": round(med, 4),
+        "assoc_ms_per_kf": kf_assoc_ms,
+    }
+    print("[reloc-stress]", out, flush=True)
+    return out
+
+
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    do_reloc = "--reloc" in sys.argv
     cam = cam_mod.CameraParams.from_config(CameraConfig())
     means, covs, _, _ = proto.load_gmm_file(
         "/root/reference/gmmloc_ros/data/map/v1.gmm"
@@ -137,6 +241,8 @@ def main():
             f"{n_dev}-device sharded: render {t_r_sh*1e3:.2f}ms assoc {t_a_sh*1e3:.2f}ms "
             f"(speedup {t_render/t_r_sh:.2f}x / {t_assoc/t_a_sh:.2f}x)"
         )
+    if do_reloc:
+        reloc_under_stress(factor)
 
 
 if __name__ == "__main__":
