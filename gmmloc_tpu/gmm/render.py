@@ -92,20 +92,34 @@ def render_view(
     n_blocks = -(-K // BLOCK)
     pad = n_blocks * BLOCK - K
     uv_p = jnp.pad(uv, ((0, pad), (0, 0)))
-    cov_p = jnp.pad(cov2d, ((0, pad), (0, 0), (0, 0)))
     depth_p = jnp.pad(depth, (0, pad))
     alive_p = jnp.pad(alive, (0, pad))
     idx_p = jnp.arange(n_blocks * BLOCK)
+    # scalar 2x2 components (a=xx, b=xy, c=yy): the pairwise BH below
+    # runs on flat (BLOCK, K) scalar grids that XLA fuses into ONE
+    # kernel per block — the matrix-shaped form materialized
+    # (BLOCK, K, 2, 2) broadcast intermediates (~270 MB/block at the
+    # 33k-component stress scale; measured 219 ms/render there)
+    ca_p = jnp.pad(cov2d[:, 0, 0], (0, pad))
+    cb_p = jnp.pad(cov2d[:, 0, 1], (0, pad))
+    cc_p = jnp.pad(cov2d[:, 1, 1], (0, pad))
+    det_p = jnp.clip(ca_p * cc_p - cb_p * cb_p, 1e-30)
 
     def block_body(b, occ):
         s = b * BLOCK
-        uv_b = jax.lax.dynamic_slice_in_dim(uv_p, s, BLOCK)
-        cov_b = jax.lax.dynamic_slice_in_dim(cov_p, s, BLOCK)
-        d_b = jax.lax.dynamic_slice_in_dim(depth_p, s, BLOCK)
-        a_b = jax.lax.dynamic_slice_in_dim(alive_p, s, BLOCK)
-        i_b = jax.lax.dynamic_slice_in_dim(idx_p, s, BLOCK)
-        bh = gaussian.bhattacharyya_2d(
-            uv_b[:, None, :], cov_b[:, None], uv_p[None, :, :], cov_p[None, :]
+        sl = lambda v: jax.lax.dynamic_slice_in_dim(v, s, BLOCK)
+        uv_b, d_b, a_b, i_b = sl(uv_p), sl(depth_p), sl(alive_p), sl(idx_p)
+        ca_b, cb_b, cc_b, det_b = sl(ca_p), sl(cb_p), sl(cc_p), sl(det_p)
+        # mean Sigma = (S1+S2)/2, elementwise over the (BLOCK, K) grid
+        A = 0.5 * (ca_b[:, None] + ca_p[None, :])
+        Bc = 0.5 * (cb_b[:, None] + cb_p[None, :])
+        C = 0.5 * (cc_b[:, None] + cc_p[None, :])
+        det_c = jnp.clip(A * C - Bc * Bc, 1e-30)
+        du = uv_p[None, :, 0] - uv_b[:, None, 0]
+        dv = uv_p[None, :, 1] - uv_b[:, None, 1]
+        md2 = (C * du * du - 2.0 * Bc * du * dv + A * dv * dv) / det_c
+        bh = md2 / 8.0 + 0.5 * jnp.log(
+            det_c / jnp.sqrt(jnp.clip(det_b[:, None] * det_p[None, :], 1e-60))
         )
         overlap = (bh < occlusion_bh_thresh) & a_b[:, None] & alive_p[None, :]
         nearer = (depth_p[None, :] < d_b[:, None]) | (
