@@ -38,7 +38,7 @@ from gmmloc_tpu.utils import proto
 
 
 def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None,
-             packed=True):
+             packed=True, reloc=False):
     gmm_path = synthetic.V2_GMM if seq.startswith("V2") else synthetic.V1_GMM
     ts, q_wc, t_wc = synthetic.load_gt_trajectory(
         f"{synthetic.GT_DIR}/{seq}.txt"
@@ -49,7 +49,15 @@ def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None,
     )
     renderer = SpriteRenderer(world, cfg, seed=run_idx)
     frontend = ImageFrontend(cfg)
-    sys_ = GMMLocSystem(cfg, gmap)
+    voc = None
+    if reloc:
+        from gmmloc_tpu.vocab.bow import Vocabulary
+
+        voc = Vocabulary.train(
+            world.desc[:: max(1, len(world.desc) // 20000)],
+            k=10, depth=4, seed=0,
+        )
+    sys_ = GMMLocSystem(cfg, gmap, vocabulary=voc)
     N = min(n_frames, len(ts) - start)
     # harness off the clock: render the sprite imagery before the timed
     # window (uint8 to bound memory); the system under measurement starts
@@ -133,6 +141,10 @@ def main():
                          "(the reference's behavior is tracking.cpp:35-116 "
                          "alone)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reloc", type=int, default=0,
+                    help="1: arm the BoW relocalization rescue (capability "
+                         "extension; default 0 = reference contract, "
+                         "terminate on loss)")
     ap.add_argument("--packed", type=int, default=1,
                     help="1: fused single-dispatch front-end, double-"
                          "buffered against the tracker (production); "
@@ -178,7 +190,7 @@ def main():
             m = run_once(cfg, seq, r, args.frames, args.start,
                          gmaps[gmm_path],
                          os.path.join(args.out, f"{seq}{r}.txt"),
-                         packed=bool(args.packed))
+                         packed=bool(args.packed), reloc=bool(args.reloc))
             runs.append(m)
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm "
