@@ -64,8 +64,16 @@ class ORBDetector:
     def detect_from_levels(self, levels):
         """Detection given a prebuilt pyramid (lets a caller share ONE
         pyramid between detection and stereo refinement inside a single
-        fused jit — frontend.process_packed)."""
-        uvs, octs, angs, resps, descs, valids = [], [], [], [], [], []
+        fused jit — frontend.process_packed).
+
+        Orientation + descriptors run as ONE atlas gather across all
+        levels (orb.ic_angle_atlas / brief_descriptors_atlas) instead
+        of 8 per-level gathers each — the patch gathers were the
+        dominant cost of the fused front-end after the SAD-refine
+        rewrite. Blur is applied per level BEFORE stacking so it cannot
+        bleed across level boundaries; results are bit-identical to the
+        per-level path (same clip semantics)."""
+        uvs_lvl, octs, resps, valids = [], [], [], []
         for l, lvl_img in enumerate(levels):
             if self.use_pallas_fast:
                 from . import pallas_kernels as pk
@@ -76,22 +84,41 @@ class ORBDetector:
             uv, resp, valid = fast.select_keypoints(
                 score, cell=self.cell, quota=self.quotas[l], edge=16
             )
-            ang = orb.ic_angle(lvl_img, uv)
-            blur = pyramid.gaussian_blur7(lvl_img)
-            desc = orb.brief_descriptors(blur, uv, ang)
-            sf = self.scale_factors[l]
-            uvs.append(uv * sf)
+            uvs_lvl.append(uv)
             octs.append(jnp.full(uv.shape[0], l, jnp.int32))
-            angs.append(ang)
             resps.append(resp)
-            descs.append(desc)
             valids.append(valid)
+
+        heights = [im.shape[0] for im in levels]
+        widths = [im.shape[1] for im in levels]
+        offs = [0]
+        for h in heights[:-1]:
+            offs.append(offs[-1] + h)
+        H_tot, W0 = offs[-1] + heights[-1], widths[0]
+        atlas_raw = jnp.zeros((H_tot, W0), levels[0].dtype)
+        atlas_blur = jnp.zeros((H_tot, W0), levels[0].dtype)
+        for l, im in enumerate(levels):
+            atlas_raw = jax.lax.dynamic_update_slice(atlas_raw, im, (offs[l], 0))
+            atlas_blur = jax.lax.dynamic_update_slice(
+                atlas_blur, pyramid.gaussian_blur7(im), (offs[l], 0)
+            )
+
+        uv_all = jnp.concatenate(uvs_lvl)                 # level-local coords
+        octave = jnp.concatenate(octs)
+        y_off = jnp.asarray(offs, jnp.int32)[octave]
+        h_v = jnp.asarray(heights, jnp.int32)[octave]
+        w_v = jnp.asarray(widths, jnp.int32)[octave]
+        ang = orb.ic_angle_atlas(atlas_raw, uv_all, y_off, h_v, w_v)
+        desc = orb.brief_descriptors_atlas(
+            atlas_blur, uv_all, ang, y_off, h_v, w_v
+        )
+        sf = jnp.asarray(self.scale_factors, uv_all.dtype)[octave]
         return Detections(
-            uv=jnp.concatenate(uvs),
-            octave=jnp.concatenate(octs),
-            angle=jnp.concatenate(angs),
+            uv=uv_all * sf[:, None],
+            octave=octave,
+            angle=ang,
             response=jnp.concatenate(resps),
-            desc=jnp.concatenate(descs),
+            desc=desc,
             valid=jnp.concatenate(valids),
         )
 

@@ -85,6 +85,62 @@ def ic_angle(img, uv):
 
 
 @jax.jit
+def ic_angle_atlas(atlas, uv, y_off, h_v, w_v):
+    """IC-angle for keypoints across ALL pyramid levels in one gather.
+
+    `atlas` stacks the (raw) level images vertically; per-keypoint
+    (y_off, h_v, w_v) give its level's row offset and dimensions. Clip
+    semantics identical to the per-level gather_patches (centers clamped
+    PATCH_R inside the level)."""
+    ys = jnp.clip(
+        jnp.round(uv[:, 1]).astype(jnp.int32),
+        PATCH_R, h_v - PATCH_R - 1,
+    ) + y_off
+    xs = jnp.clip(
+        jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_R, w_v - PATCH_R - 1
+    )
+    dy = jnp.arange(-PATCH_R, PATCH_R + 1)
+    dx = jnp.arange(-PATCH_R, PATCH_R + 1)
+    yy = ys[:, None, None] + dy[None, :, None]
+    xx = xs[:, None, None] + dx[None, None, :]
+    patches = atlas[yy, xx]
+    mask = jnp.asarray(CIRCLE)
+    wy = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[:, None]
+    wx = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[None, :]
+    m01 = jnp.sum(patches * mask * wy, axis=(1, 2))
+    m10 = jnp.sum(patches * mask * wx, axis=(1, 2))
+    return jnp.degrees(jnp.arctan2(m01, m10)) % 360.0
+
+
+@jax.jit
+def brief_descriptors_atlas(atlas_blur, uv, angle_deg, y_off, h_v, w_v):
+    """Steered BRIEF-256 across ALL levels in one gather (atlas of the
+    per-level BLURRED images; blur must not bleed across level
+    boundaries, so levels are blurred before stacking). Clip semantics
+    identical to the per-level brief_descriptors ([0, h-1]/[0, w-1] of
+    the keypoint's own level)."""
+    a = jnp.radians(angle_deg)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    pat = jnp.asarray(PATTERN)
+    px = pat[None, :, :, 0] * ca[:, None, None] - pat[None, :, :, 1] * sa[:, None, None]
+    py = pat[None, :, :, 0] * sa[:, None, None] + pat[None, :, :, 1] * ca[:, None, None]
+    xs = jnp.clip(
+        jnp.round(uv[:, None, None, 0] + px).astype(jnp.int32),
+        0, (w_v - 1)[:, None, None],
+    )
+    ys = jnp.clip(
+        jnp.round(uv[:, None, None, 1] + py).astype(jnp.int32),
+        0, (h_v - 1)[:, None, None],
+    ) + y_off[:, None, None]
+    vals = atlas_blur[ys, xs]
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
+    ).astype(jnp.uint8)
+
+
+@jax.jit
 def brief_descriptors(img_blur, uv, angle_deg):
     """Steered BRIEF-256 -> (N, 32) uint8.
 

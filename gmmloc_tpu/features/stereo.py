@@ -187,9 +187,12 @@ def compute_stereo_matches(
         jnp.asarray(scale_factors), bf=bf, min_z=baseline, n_levels=n_levels,
     )
 
-    # median SAD outlier cut: drop matches with sad >= 2.1 * median
-    sad_np = np.asarray(jnp.where(good, sad, jnp.nan))
-    med = np.nanmedian(sad_np) if np.isfinite(sad_np).any() else 0.0
+    # median SAD outlier cut: drop matches with sad >= 2.1 * median.
+    # In-graph f32 nanmedian — identical to the fused packed front-end
+    # (host np.nanmedian computes in f64 and flips borderline matches
+    # by one ulp of the threshold)
+    med = jnp.nanmedian(jnp.where(good, sad, jnp.nan))
+    med = jnp.where(jnp.isfinite(med), med, 0.0)
     thr = 1.5 * 1.4 * med
     good = good & (sad <= thr)
     return (
