@@ -113,11 +113,14 @@ N_FRAMES = int(sys.argv[2])
 MODE = sys.argv[3] if len(sys.argv) > 3 else "offline"
 START = 150
 cfg = euroc_v1_config()
-tk = dict(velocity_damping=0.9)
+# both modes use the device-chained deep pipeline — the SAME tracking
+# configuration the committed ATE artifacts run (expr_r4 production
+# config); offline keeps mapping synchronous inline (DSO protocol,
+# gmmloc.cpp:172-174), online moves it to the mapping thread
+tk = dict(velocity_damping=0.9, pipeline_depth=4)
 if MODE == "online":
-    # production operating point: online threaded mapping + deep
-    # device-chained pipeline (ref gmmloc.cpp:56-59 two-thread split)
-    tk["pipeline_depth"] = 4
+    # production operating point: online threaded mapping
+    # (ref gmmloc.cpp:56-59 two-thread split)
     cfg = cfg.replace(online=True)
 cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, **tk))
 gmap = mixture.load(

@@ -188,6 +188,85 @@ class Vocabulary:
             int(z["k"]), int(z["depth"]),
         )
 
+    # ------------------------------------------------- DBoW2 binary format
+
+    @classmethod
+    def load_dbow2(cls, path: str, desc_len: int = 32) -> "Vocabulary":
+        """Parse a DBoW2 packed binary vocabulary (ORBvoc.bin).
+
+        Wire format (ref: orb_dbow2 TemplatedVocabulary.h
+        loadFromBinaryFile/saveToBinaryFile): 24-byte header of six
+        4-byte little-endian ints (nb_nodes, size_node, k, L, scoring,
+        weighting), then one record per non-root node in node-id order:
+        int32 parent, desc_len descriptor bytes, float32 weight, one
+        is_leaf byte (size_node = desc_len + 9). Children order is the
+        file order of their records (the reference's push_back); leaf
+        word ids are assigned in node-id order."""
+        raw = open(path, "rb").read()
+        hdr = np.frombuffer(raw[:24], "<u4")
+        nb_nodes, size_node, k, L = int(hdr[0]), int(hdr[1]), int(hdr[2]), int(hdr[3])
+        if size_node != desc_len + 9:
+            raise ValueError(
+                f"size_node {size_node} != desc_len+9 ({desc_len + 9})"
+            )
+        body = raw[24:]
+        n_rec = len(body) // size_node
+        # the reference writes nodes 1..nb_nodes-1 and reads until EOF
+        n_rec = min(n_rec, max(nb_nodes - 1, 0))
+        rec = np.frombuffer(
+            body[: n_rec * size_node], np.uint8
+        ).reshape(n_rec, size_node)
+        parent = rec[:, :4].copy().view("<i4")[:, 0]
+        desc = rec[:, 4 : 4 + desc_len]
+        weight = rec[:, 4 + desc_len : 8 + desc_len].copy().view("<f4")[:, 0]
+        is_leaf = rec[:, 8 + desc_len] != 0
+
+        n_nodes = n_rec + 1
+        children = np.full((n_nodes, k), -1, np.int32)
+        n_child = np.zeros(n_nodes, np.int32)
+        node_desc = np.zeros((n_nodes, desc_len), np.uint8)
+        node_desc[1:] = desc
+        word_id = np.full(n_nodes, -1, np.int32)
+        w = 0
+        for i in range(n_rec):
+            nid = i + 1
+            p = int(parent[i])
+            children[p, n_child[p]] = nid
+            n_child[p] += 1
+            if is_leaf[i]:
+                word_id[nid] = w
+                w += 1
+        word_weight = weight[is_leaf].astype(np.float32)
+        return cls(children, node_desc, word_id, word_weight, k, L)
+
+    def save_dbow2(self, path: str) -> None:
+        """Write the DBoW2 packed binary format (round-trip counterpart
+        of load_dbow2; same record layout as saveToBinaryFile)."""
+        n_nodes = len(self.node_desc)
+        desc_len = self.node_desc.shape[1]
+        # reconstruct per-node parent pointers from the children table
+        parent = np.zeros(n_nodes, np.int32)
+        for p in range(n_nodes):
+            for c in self.children[p]:
+                if c >= 0:
+                    parent[c] = p
+        with open(path, "wb") as f:
+            f.write(
+                np.array(
+                    [n_nodes, desc_len + 9, self.k, self.depth, 0, 0], "<u4"
+                ).tobytes()
+            )
+            for nid in range(1, n_nodes):
+                f.write(np.int32(parent[nid]).tobytes())
+                f.write(self.node_desc[nid].tobytes())
+                wgt = (
+                    self.word_weight[self.word_id[nid]]
+                    if self.word_id[nid] >= 0
+                    else 0.0
+                )
+                f.write(np.float32(wgt).tobytes())
+                f.write(bytes([1 if self.word_id[nid] >= 0 else 0]))
+
 
 class KeyFrameDatabase:
     """Inverted-index place-recognition database (relocalization).
@@ -198,38 +277,52 @@ class KeyFrameDatabase:
 
     def __init__(self, voc: Vocabulary):
         self.voc = voc
-        self.inv: List[List[int]] = [[] for _ in range(voc.n_words)]
-        self.bow: dict = {}
+        # inverted file: word -> {kf: tf-idf value}. BoW vectors are
+        # L1-normalized and sparse (<= n_features nonzero words), so a
+        # query touches only its own words' posting lists — sub-linear in
+        # the number of stored keyframes (DBoW2 TemplatedDatabase::query
+        # inverted-file semantics, TemplatedDatabase.h).
+        self.inv: List[dict] = [{} for _ in range(voc.n_words)]
+        self.bow: dict = {}  # kf -> (word_ids int32, values float32)
 
     def add(self, kf: int, descs, valid=None) -> None:
         v = self.voc.bow_vector(descs, valid)
-        self.bow[kf] = v
-        for w in np.where(v > 0)[0]:
-            self.inv[w].append(kf)
+        words = np.where(v > 0)[0].astype(np.int32)
+        vals = v[words]
+        self.bow[kf] = (words, vals)
+        for w, x in zip(words, vals):
+            self.inv[w][kf] = float(x)
 
     def remove(self, kf: int) -> None:
-        v = self.bow.pop(kf, None)
-        if v is None:
+        ent = self.bow.pop(kf, None)
+        if ent is None:
             return
-        for w in np.where(v > 0)[0]:
-            if kf in self.inv[w]:
-                self.inv[w].remove(kf)
+        for w in ent[0]:
+            self.inv[w].pop(kf, None)
 
     def query(self, descs, valid=None, top: int = 5) -> List[Tuple[int, float]]:
-        """Candidate KFs by shared words, scored TF-IDF L1.
+        """Candidate KFs by shared words via the inverted file, scored
+        TF-IDF L1 (DBoW2 ScoringObject.cpp L1Scoring).
 
-        All keyframes sharing at least one word are scored (vectorized
-        over the stacked BoW matrix). A share-count prefilter like
-        ORB-SLAM2's 0.8*max cut degenerates when the vocabulary is small
-        relative to the per-frame feature count (every KF shares nearly
-        every word and a single KF monopolizes the candidate list)."""
+        With a,b L1-normalized:  |a-b|_1 = 2 + sum_shared(|a_w-b_w| -
+        a_w - b_w), so  score = 1 - 0.5|a-b|_1 = -0.5*sum_shared(...)
+        — computable from the shared words alone. Cost is
+        O(sum_{query words} |posting list|), not O(n_kf * n_words).
+        Exactly equal to the dense formula (tests/test_vocab.py).
+        No share-count prefilter (ORB-SLAM2's 0.8*max cut degenerates
+        when the vocabulary is small relative to the per-frame feature
+        count); every KF sharing >=1 word is scored."""
         if not self.bow:
             return []
         v = self.voc.bow_vector(descs, valid)
-        kfs = list(self.bow.keys())
-        mat = np.stack([self.bow[k] for k in kfs])     # (n_kf, n_words)
-        # L1 score: 2 + sum(|a-b| - |a| - |b|) over shared support
-        # (DBoW2 ScoringObject.cpp L1Scoring, higher = more similar)
-        scores = 1.0 - 0.5 * np.abs(mat - v[None, :]).sum(axis=1)
+        acc: dict = {}
+        for w in np.where(v > 0)[0]:
+            a_w = float(v[w])
+            for kf, b_w in self.inv[w].items():
+                acc[kf] = acc.get(kf, 0.0) + abs(a_w - b_w) - a_w - b_w
+        if not acc:
+            return []
+        kfs = np.fromiter(acc.keys(), np.int64, len(acc))
+        scores = -0.5 * np.fromiter(acc.values(), np.float64, len(acc))
         order = np.argsort(-scores)[:top]
-        return [(kfs[i], float(scores[i])) for i in order if scores[i] > 0.0]
+        return [(int(kfs[i]), float(scores[i])) for i in order if scores[i] > 0.0]
