@@ -149,6 +149,18 @@ class LocConfig:
     # each keyframe measured ~1.3 s/KF through the remote PJRT tunnel
     # (expr_prof/step_profile_r3_tpu_fine.json loc/fuse_upload).
     use_device_world: bool = True
+    # Fused per-KF association: render + candidate search + the full
+    # checkMapAssociation chain (neighbor refinement, queryPoint
+    # fallback) as ONE device program with ONE fetch instead of 4-6
+    # dispatch+fetch round trips (association.associate_and_check_kernel;
+    # kf/process measured 182 ms/KF mostly in link RTT, r4 profile).
+    fused_kf_assoc: bool = True
+    # Fused triangulation: epipolar search + DLT/stereo init +
+    # GMM-constrained solve + acceptance gates + first-wins selection as
+    # ONE device program (mapping/tri_kernel.py) instead of 4 device
+    # boundaries (~195 ms/KF of RTT, r4 profile loc/triangulate).
+    # Requires use_device_world.
+    fused_tri: bool = True
 
 
 @dataclass(frozen=True)
@@ -268,6 +280,10 @@ class CapacityConfig:
     # while cutting the dominant (P,MO,·) BA traffic by a third.
     ba_obs_per_point: int = 8
     gmm_components_pad: int = 5120   # padded K (v1:3299, v2:5096 -> 5120)
+    # fused-triangulation per-KF match budget (static shape). Observed
+    # per-KF match counts on the protocol runs are 100-800; overflow is
+    # confessed in the run log (Localization._triangulate_fused).
+    tri_match_budget: int = 2048
 
 
 @dataclass(frozen=True)

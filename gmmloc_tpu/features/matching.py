@@ -364,8 +364,8 @@ def fuse_project_match_gather(
     cam,
     kf_idx,         # (T,) int32 target keyframes
     job_ok,         # (T,) bool — padded tier rows are False
-    q_pid,          # (B,) int32 query landmark ids (shared across targets)
-    q_ok,           # (B,) bool
+    q_pid,          # (T,B) int32 PER-JOB query landmark ids
+    q_ok,           # (T,B) bool
     skip,           # (T,B) bool — landmark already observed by that target
     kf_q, kf_t,     # (MK,4),(MK,3) device poses (T_cw)
     kf_uv, kf_ur, kf_desc, kf_oct, kf_fvalid,     # device KF feature tables
@@ -382,17 +382,22 @@ def fuse_project_match_gather(
     shared memory; re-uploading them per keyframe measured at ~1.3 s/KF
     through the remote PJRT link, see mapping/device_world.py).
 
+    Query ids are PER JOB (r5): the forward fusion jobs (current-KF
+    landmarks against each covisible target) and the reverse job (all
+    2nd-ring landmarks against the current KF) land in ONE dispatch
+    instead of two (each cost a sync + dispatch + fetch round trip).
+
     Returns (T, B) feature index into each target KF, or -1.
     """
-    pos = pt_pos[q_pid]                               # (B,3)
-    nrm = pt_normal[q_pid]
-    dmin = pt_mind[q_pid]
-    dmax = pt_maxd[q_pid]
-    desc = pt_desc[q_pid]
-    ok0 = q_ok & pt_valid[q_pid]
     n_levels = scale_factors.shape[0]
 
-    def per_target(kfi, jok, skip_t):
+    def per_target(kfi, jok, q_pid_t, q_ok_t, skip_t):
+        pos = pt_pos[q_pid_t]                         # (B,3)
+        nrm = pt_normal[q_pid_t]
+        dmin = pt_mind[q_pid_t]
+        dmax = pt_maxd[q_pid_t]
+        desc = pt_desc[q_pid_t]
+        ok0 = q_ok_t & pt_valid[q_pid_t]
         q = kf_q[kfi]
         t = kf_t[kfi]
         w_, x_, y_, z_ = q[0], q[1], q[2], q[3]
@@ -429,4 +434,4 @@ def fuse_project_match_gather(
         )
         return jnp.where(jok, m, -1)
 
-    return jax.vmap(per_target)(kf_idx, job_ok, skip)
+    return jax.vmap(per_target)(kf_idx, job_ok, q_pid, q_ok, skip)

@@ -13,6 +13,7 @@ for the neighbor-refinement switch (SURVEY.md §7 hard part 2).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -38,6 +39,150 @@ def bucket_size(n: int, lo: int = 256) -> int:
     return b
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "knn", "mdist2_thresh", "view_cos_deg", "cov2d_scale_thresh",
+        "occlusion_bh_thresh", "tri_lambda2", "chi2_stereo", "str_chi2_thresh",
+        "chi2_assoc_3d", "iters", "tri_check_str_chi2",
+    ),
+)
+def associate_and_check_kernel(
+    gmap,
+    cam: cam_mod.CameraParams,
+    q_cw, t_cw,            # (4,), (3,) keyframe pose
+    uv,                    # (F,2) feature positions
+    ur,                    # (F,)
+    octave,                # (F,) int32
+    valid,                 # (F,) bool
+    depth,                 # (F,) stereo depth (<0 = none)
+    sigma2_inv_tab,        # (L,) per-octave information
+    *,
+    knn: int,
+    mdist2_thresh: float,
+    view_cos_deg: float,
+    cov2d_scale_thresh: float,
+    occlusion_bh_thresh: float,
+    tri_lambda2: float,
+    chi2_stereo: float,
+    str_chi2_thresh: float,
+    chi2_assoc_3d: float,
+    iters: int,
+    tri_check_str_chi2: bool,
+):
+    """ONE dispatch for the whole per-keyframe association chain:
+    renderView + searchCorrespondence + batched checkMapAssociation
+    incl. neighbor refinement and the 3D queryPoint fallback
+    (ref: associateMapElements gmmloc_opt.cpp:115-153 +
+    checkMapAssociation :156-258 + queryPoint gaussian_mixture.cpp:545).
+
+    The previous orchestration ran this as 4-6 separate dispatch+fetch
+    round trips per keyframe (~150 ms of RTT through the dev tunnel,
+    kf/process 182 ms/KF in expr_prof/step_profile_r4_chained_final);
+    every host-side decision between the stages (argmin select, switch
+    mask, fallback gating) is dense masked arithmetic, so the chain
+    fuses into one program with one small fetch.
+
+    Returns (cand (F,knn) int32, assoc (F,) int32 or -1, pt_out (F,3)).
+    """
+    F = uv.shape[0]
+
+    # --- renderView + searchCorrespondence (existing kernels, inlined) ---
+    r2d = render_mod.render_view(
+        gmap, cam, q_cw, t_cw,
+        view_cos_deg=view_cos_deg,
+        cov2d_scale_thresh=cov2d_scale_thresh,
+        occlusion_bh_thresh=occlusion_bh_thresh,
+    )
+    cand = render_mod.search_correspondence(
+        r2d, uv, valid, knn=knn, mdist2_thresh=mdist2_thresh
+    )                                                   # (F, knn)
+
+    # --- unproject stereo features; per-feature edge terms ---------------
+    feat_ok = valid & (depth > 0)
+    z = jnp.where(feat_ok, depth, 1.0)
+    xn = jnp.stack(
+        [(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy,
+         jnp.ones(F, jnp.float32)], -1,
+    )
+    from ..geometry import se3 as _se3
+
+    q_wc, t_wc = _se3.inverse(q_cw, t_cw)
+    pts0 = _se3.apply(q_wc, t_wc, xn * z[:, None])      # (F,3) world
+    obs_uvr = jnp.concatenate([uv, ur[:, None]], -1)
+    s2i = sigma2_inv_tab[octave]
+    # proj_z^2 with z clamped >= 1 (gmmloc_opt.cpp:171-174)
+    str_info = tri_lambda2 * jnp.maximum(z, 1.0) ** 2
+
+    def chi2_comp(comp, pts):
+        """Component Mahalanobis^2 at pts; comp broadcast over leading."""
+        safe = jnp.maximum(comp, 0)
+        d = pts - gmap.means[safe]
+        ci = gmap.cov_inv[safe]
+        return jnp.einsum("...i,...ij,...j->...", d, ci, d)
+
+    def run_opt(comp, pts_init):
+        """optimize_point_stereo for one comp per row (broadcast pose)."""
+        safe = jnp.maximum(comp, 0)
+        res = point_solver.optimize_point_stereo(
+            cam,
+            pts_init,
+            jnp.broadcast_to(q_cw, pts_init.shape[:-1] + (4,)),
+            jnp.broadcast_to(t_cw, pts_init.shape[:-1] + (3,)),
+            jnp.broadcast_to(obs_uvr[..., None, :] if pts_init.ndim == 3 else obs_uvr, pts_init.shape[:-1] + (3,)),
+            jnp.broadcast_to(s2i[..., None] if pts_init.ndim == 3 else s2i, pts_init.shape[:-1]),
+            gmap.normal[safe].astype(jnp.float32),
+            gmap.means[safe].astype(jnp.float32),
+            jnp.broadcast_to(str_info[..., None] if pts_init.ndim == 3 else str_info, pts_init.shape[:-1]).astype(jnp.float32),
+            chi2_proj_thresh=chi2_stereo,
+            str_chi2_thresh=str_chi2_thresh,
+            iters=iters,
+            tri_check_str_chi2=tri_check_str_chi2,
+        )
+        return res.x, res.chi2_proj, res.ok & (comp >= 0)
+
+    # --- pass 1: all (feature x candidate) pairs -------------------------
+    pts0_k = jnp.broadcast_to(pts0[:, None, :], (F, knn, 3))
+    x1, c1, ok1 = run_opt(cand, pts0_k)                 # (F,knn,...)
+    c1 = jnp.where(ok1 & feat_ok[:, None], c1, jnp.inf)
+    best = jnp.argmin(c1, axis=1)
+    found = jnp.isfinite(jnp.take_along_axis(c1, best[:, None], 1)[:, 0])
+    best_comp = jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+    best_pt = jnp.take_along_axis(x1, best[:, None, None], 1)[:, 0]
+
+    # --- neighbor refinement (gmmloc_opt.cpp:209-228) --------------------
+    g = jnp.maximum(best_comp, 0)
+    ll = chi2_comp(g, best_pt)                          # (F,)
+    nbs = gmap.neighbors[g]                             # (F, NB)
+    ln = chi2_comp(jnp.maximum(nbs, 0), best_pt[:, None, :])
+    ln = jnp.where(nbs >= 0, ln, jnp.inf)
+    nb_best = jnp.argmin(ln, axis=1)
+    nb_ll = jnp.take_along_axis(ln, nb_best[:, None], 1)[:, 0]
+    switch = found & (nb_ll < ll)
+    nb_comp = jnp.take_along_axis(nbs, nb_best[:, None], 1)[:, 0]
+    chosen = jnp.where(switch, nb_comp, best_comp)
+    x2, _, ok2 = run_opt(jnp.where(switch, chosen, -1), pts0)
+    # failed re-opts fall back to the original comp/solution
+    best_pt = jnp.where((switch & ok2)[:, None], x2, best_pt)
+    chosen = jnp.where(switch & ~ok2, best_comp, chosen)
+
+    ll_final = chi2_comp(jnp.maximum(chosen, 0), best_pt)
+    accept = found & (ll_final <= chi2_assoc_3d)
+    assoc = jnp.where(accept, chosen, -1).astype(jnp.int32)
+    pt_out = jnp.where(accept[:, None], best_pt, pts0)
+
+    # --- 3D queryPoint fallback for all-candidates-failed features -------
+    # (gmmloc_opt.cpp:237-254: refines the position, keeps assoc = -1)
+    has_cand = (cand >= 0).any(axis=1)
+    miss = feat_ok & has_cand & ~found
+    nearest = render_mod.query_point_3d(gmap, pts0, miss)
+    deg_ok = miss & (nearest >= 0) & gmap.is_degenerated[jnp.maximum(nearest, 0)]
+    x3, _, ok3 = run_opt(jnp.where(deg_ok, nearest, -1), pts0)
+    pt_out = jnp.where((deg_ok & ok3)[:, None], x3, pt_out)
+
+    return cand, assoc, pt_out
+
+
 class GMMAssociator:
     def __init__(self, cfg: SystemConfig, cam: cam_mod.CameraParams, gmap: mixture.GMMMap):
         self.cfg = cfg
@@ -50,8 +195,53 @@ class GMMAssociator:
         self._sqrt_info = hv["sqrt_info"]
         self._neighbors = hv["neighbors"]
         self._deg = hv["is_degenerated"]
+        # per-KF (assoc, pt_out) staged by associate_and_check_keyframe,
+        # consumed by create_map_points_from_stereo (fused single-dispatch
+        # KF association path)
+        self._fused_check: dict = {}
 
     # ------------------------------------------------------------------
+
+    def associate_and_check_keyframe(self, world: ms.MapState, kf: int) -> None:
+        """Fused single-dispatch variant of associate_keyframe + the
+        checkMapAssociation batch: render + candidate search + per-feature
+        association checks land in ONE device program with ONE fetch
+        (associate_and_check_kernel). Stages (assoc, pt_out) for the
+        subsequent create_map_points_from_stereo call."""
+        cfg = self.cfg
+        g = cfg.gmm
+        lc = cfg.loc
+        with Timer("kf/assoc_check"):
+            cand, assoc, pt_out = fetch(
+                associate_and_check_kernel(
+                    self.gmap,
+                    self.cam,
+                    jnp.array(world.kf_q[kf], jnp.float32),
+                    jnp.array(world.kf_t[kf], jnp.float32),
+                    jnp.array(world.kf_feat_uv[kf], jnp.float32),
+                    jnp.array(world.kf_feat_ur[kf], jnp.float32),
+                    jnp.array(world.kf_feat_octave[kf], jnp.int32),
+                    jnp.array(world.kf_feat_valid[kf]),
+                    jnp.array(world.kf_feat_depth[kf], jnp.float32),
+                    jnp.array(world.pyr["sigma2_inv"], jnp.float32),
+                    knn=g.assoc_knn,
+                    mdist2_thresh=g.assoc_mdist2_thresh,
+                    view_cos_deg=g.view_cos_deg,
+                    cov2d_scale_thresh=g.cov2d_scale_thresh,
+                    occlusion_bh_thresh=g.occlusion_bh_thresh,
+                    tri_lambda2=lc.tri_lambda2,
+                    chi2_stereo=lc.chi2_stereo,
+                    str_chi2_thresh=lc.tri_str_thresh * lc.tri_lambda2,
+                    chi2_assoc_3d=lc.chi2_assoc_3d,
+                    iters=lc.point_opt_iters,
+                    tri_check_str_chi2=lc.tri_check_str_chi2,
+                )
+            )
+        world.kf_comp_cand[kf] = cand
+        # re-mark: a device-world sync may have scattered this KF's row
+        # before the candidate table was filled (chained tracking path)
+        world.dirty_kf.add(kf)
+        self._fused_check[kf] = (assoc, pt_out)
 
     def associate_keyframe(self, world: ms.MapState, kf: int) -> None:
         """renderView + searchCorrespondence -> kf_comp_cand
@@ -77,6 +267,7 @@ class GMMAssociator:
             mdist2_thresh=g.assoc_mdist2_thresh,
         )
         world.kf_comp_cand[kf] = fetch(cand)
+        world.dirty_kf.add(kf)  # mirror row must carry the candidate table
         t_sc.stop()
 
     # ------------------------------------------------------------------
@@ -288,10 +479,21 @@ class GMMAssociator:
         assoc = np.full(len(kept), -1, np.int32)
         pts = pw.copy()
         ci = np.where(has_cand)[0]
+        staged = self._fused_check.pop(kf, None)
         if len(ci):
-            a, p_new = self.check_map_association_batch(world, kf, kept[ci], pw[ci])
-            assoc[ci] = a
-            pts[ci] = p_new
+            if staged is not None:
+                # fused path: per-feature results were computed in the
+                # associate_and_check_kernel dispatch (selection-independent
+                # — association depends only on the feature itself)
+                a_all, p_all = staged
+                assoc[ci] = a_all[kept[ci]]
+                pts[ci] = p_all[kept[ci]]
+            else:
+                a, p_new = self.check_map_association_batch(
+                    world, kf, kept[ci], pw[ci]
+                )
+                assoc[ci] = a
+                pts[ci] = p_new
 
         ok = ~(has_cand & (assoc < 0))   # gated out (gmmloc_opt.cpp:79-81)
         sel = np.where(ok)[0]

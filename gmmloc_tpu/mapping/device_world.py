@@ -41,22 +41,24 @@ def _pad_pow2(ids: np.ndarray, lo: int = 64) -> np.ndarray:
 
 
 @jax.jit
-def _scatter_kf(uv, ur, desc, octv, ang, val, ids, r_uv, r_ur, r_desc,
-                r_oct, r_ang, r_val):
+def _scatter_kf(uv, ur, desc, octv, ang, val, dep, cand, ids, r_uv, r_ur,
+                r_desc, r_oct, r_ang, r_val, r_dep, r_cand):
     return (
         uv.at[ids].set(r_uv), ur.at[ids].set(r_ur),
         desc.at[ids].set(r_desc), octv.at[ids].set(r_oct),
         ang.at[ids].set(r_ang), val.at[ids].set(r_val),
+        dep.at[ids].set(r_dep), cand.at[ids].set(r_cand),
     )
 
 
 @jax.jit
-def _scatter_pt(pos, nrm, dmin, dmax, desc, ids, r_pos, r_nrm, r_dmin,
-                r_dmax, r_desc):
+def _scatter_pt(pos, nrm, dmin, dmax, desc, okf, oft, ids, r_pos, r_nrm,
+                r_dmin, r_dmax, r_desc, r_okf, r_oft):
     return (
         pos.at[ids].set(r_pos), nrm.at[ids].set(r_nrm),
         dmin.at[ids].set(r_dmin), dmax.at[ids].set(r_dmax),
-        desc.at[ids].set(r_desc),
+        desc.at[ids].set(r_desc), okf.at[ids].set(r_okf),
+        oft.at[ids].set(r_oft),
     )
 
 
@@ -75,15 +77,25 @@ class DeviceWorld:
         self.kf_feat_octave = jnp.zeros((MK, F), jnp.int32)
         self.kf_feat_angle = jnp.zeros((MK, F), jnp.float32)
         self.kf_feat_valid = jnp.zeros((MK, F), bool)
+        self.kf_feat_depth = jnp.full((MK, F), -1.0, jnp.float32)
+        knn = world.kf_comp_cand.shape[2]
+        self.kf_comp_cand = jnp.full((MK, F, knn), -1, jnp.int32)
         self.pt_pos = jnp.zeros((MP, 3), jnp.float32)
         self.pt_normal = jnp.zeros((MP, 3), jnp.float32)
         self.pt_min_dist = jnp.zeros(MP, jnp.float32)
         self.pt_max_dist = jnp.zeros(MP, jnp.float32)
         self.pt_desc = jnp.zeros((MP, 32), jnp.uint8)
+        # per-point observation tables (BA problem assembly gathers the
+        # window's observations ON DEVICE — mapping/ba_assemble.py)
+        MO = world.MO
+        self.pt_obs_kf = jnp.full((MP, MO), -1, jnp.int32)
+        self.pt_obs_feat = jnp.full((MP, MO), -1, jnp.int32)
         # small, re-uploaded every sync
         self.kf_q = jnp.zeros((MK, 4), jnp.float32)
         self.kf_t = jnp.zeros((MK, 3), jnp.float32)
         self.pt_valid = jnp.zeros(MP, bool)
+        # raw GMM association (un-vetted; BA structure factors use this)
+        self.pt_acomp = jnp.full(MP, -1, jnp.int32)
         # BA-vetted GMM component per point (-1 none) — consumed by the
         # chained track step's on-device landmark-table construction
         self.pt_comp = jnp.full(MP, -1.0, jnp.float32)
@@ -103,6 +115,7 @@ class DeviceWorld:
             _scatter_kf(
                 self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
                 self.kf_feat_octave, self.kf_feat_angle, self.kf_feat_valid,
+                self.kf_feat_depth, self.kf_comp_cand,
                 ids,
                 jnp.zeros((b,) + self.kf_feat_uv.shape[1:], jnp.float32),
                 jnp.zeros((b,) + self.kf_feat_ur.shape[1:], jnp.float32),
@@ -110,15 +123,20 @@ class DeviceWorld:
                 jnp.zeros((b,) + self.kf_feat_octave.shape[1:], jnp.int32),
                 jnp.zeros((b,) + self.kf_feat_angle.shape[1:], jnp.float32),
                 jnp.zeros((b,) + self.kf_feat_valid.shape[1:], bool),
+                jnp.zeros((b,) + self.kf_feat_depth.shape[1:], jnp.float32),
+                jnp.zeros((b,) + self.kf_comp_cand.shape[1:], jnp.int32),
             )[0].block_until_ready()
+        mo = self.pt_obs_kf.shape[1]
         for b in pt_buckets:
             ids = jnp.zeros(b, jnp.int32)
             _scatter_pt(
                 self.pt_pos, self.pt_normal, self.pt_min_dist,
-                self.pt_max_dist, self.pt_desc, ids,
+                self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
+                self.pt_obs_feat, ids,
                 jnp.zeros((b, 3), jnp.float32), jnp.zeros((b, 3), jnp.float32),
                 jnp.zeros(b, jnp.float32), jnp.zeros(b, jnp.float32),
                 jnp.zeros((b, 32), jnp.uint8),
+                jnp.zeros((b, mo), jnp.int32), jnp.zeros((b, mo), jnp.int32),
             )[0].block_until_ready()
 
     def sync(self) -> None:
@@ -150,10 +168,11 @@ class DeviceWorld:
                 np.fromiter(w.dirty_kf, np.int64, len(w.dirty_kf)), lo=1
             )
             (self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
-             self.kf_feat_octave, self.kf_feat_angle,
-             self.kf_feat_valid) = _scatter_kf(
+             self.kf_feat_octave, self.kf_feat_angle, self.kf_feat_valid,
+             self.kf_feat_depth, self.kf_comp_cand) = _scatter_kf(
                 self.kf_feat_uv, self.kf_feat_ur, self.kf_feat_desc,
                 self.kf_feat_octave, self.kf_feat_angle, self.kf_feat_valid,
+                self.kf_feat_depth, self.kf_comp_cand,
                 jnp.array(ids),
                 jnp.array(w.kf_feat_uv[ids], jnp.float32),
                 jnp.array(w.kf_feat_ur[ids], jnp.float32),
@@ -161,33 +180,40 @@ class DeviceWorld:
                 jnp.array(w.kf_feat_octave[ids], jnp.int32),
                 jnp.array(w.kf_feat_angle[ids], jnp.float32),
                 jnp.array(w.kf_feat_valid[ids]),
+                jnp.array(w.kf_feat_depth[ids], jnp.float32),
+                jnp.array(w.kf_comp_cand[ids], jnp.int32),
             )
             w.dirty_kf.clear()
-            n_up += 7
+            n_up += 9
         if w.dirty_pt:
             ids = _pad_pow2(
                 np.fromiter(w.dirty_pt, np.int64, len(w.dirty_pt)), lo=256
             )
             (self.pt_pos, self.pt_normal, self.pt_min_dist,
-             self.pt_max_dist, self.pt_desc) = _scatter_pt(
+             self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
+             self.pt_obs_feat) = _scatter_pt(
                 self.pt_pos, self.pt_normal, self.pt_min_dist,
-                self.pt_max_dist, self.pt_desc,
+                self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
+                self.pt_obs_feat,
                 jnp.array(ids),
                 jnp.array(w.pt_pos[ids], jnp.float32),
                 jnp.array(w.pt_normal[ids], jnp.float32),
                 jnp.array(w.pt_min_dist[ids], jnp.float32),
                 jnp.array(w.pt_max_dist[ids], jnp.float32),
                 jnp.array(w.pt_desc[ids]),
+                jnp.array(w.pt_obs_kf[ids], jnp.int32),
+                jnp.array(w.pt_obs_feat[ids], jnp.int32),
             )
             w.dirty_pt.clear()
-            n_up += 6
+            n_up += 8
         self.kf_q = jnp.array(w.kf_q, jnp.float32)
         self.kf_t = jnp.array(w.kf_t, jnp.float32)
         self.pt_valid = jnp.array(w.pt_valid)
         self.pt_comp = jnp.array(
             np.where(w.pt_assoc_vetted, w.pt_assoc_comp, -1).astype(np.float32)
         )
-        record_uploads(n_up + 4)
+        self.pt_acomp = jnp.array(w.pt_assoc_comp, jnp.int32)
+        record_uploads(n_up + 5)
         # Materialize the scatter chains before anything dispatches on
         # them: the axon tunnel intermittently WEDGES transfers whose
         # producing dispatch consumes chained (not-yet-materialized)

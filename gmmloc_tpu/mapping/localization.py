@@ -204,6 +204,13 @@ class Localization:
         free2 = w.kf_feat_valid[kf2_pad] & (w.kf_obs_point[kf2_pad] < 0)
         free2[T:] = False  # padded rows match nothing
 
+        if self.dev_world is not None and self.cfg.loc.fused_tri:
+            with Timer("loc/tri_sync"):
+                self.dev_world.sync()
+            return self._triangulate_fused(
+                kf1, kf2s, kf2_pad, fmat_pad, ep_pad, free1, free2,
+                ratio_factor,
+            )
         if self.dev_world is not None:
             with Timer("loc/tri_sync"):
                 self.dev_world.sync()
@@ -253,6 +260,89 @@ class Localization:
         return self._triangulate_matches(
             kf1, kf2_of, idx1, idx2, ratio_factor, pair_order=pair_t
         )
+
+    def _triangulate_fused(
+        self, kf1, kf2s, kf2_pad, fmat_pad, ep_pad, free1, free2,
+        ratio_factor,
+    ) -> int:
+        """Fused single-dispatch triangulation (mapping/tri_kernel.py):
+        search + init + candidate solve + gates + first-wins selection in
+        ONE device program; the host fetches packed per-match records and
+        does only the map surgery for the winners."""
+        w = self.world
+        cfg = self.cfg
+        dv = self.dev_world
+        from .tri_kernel import triangulate_kernel
+
+        T = len(kf2s)
+        TP = len(kf2_pad)
+        job_ok = np.zeros(TP, bool)
+        job_ok[:T] = True
+        with Timer("loc/tri_solve"):
+            (win, idx1, idx2, pair_t, pts, hstr, str_comp, from_mono,
+             n_m) = fetch(
+                triangulate_kernel(
+                    self.cam,
+                    jnp.int32(kf1),
+                    jnp.array(kf2_pad, jnp.int32),
+                    jnp.array(job_ok),
+                    jnp.array(free1),
+                    jnp.array(free2),
+                    jnp.array(fmat_pad),
+                    jnp.array(ep_pad),
+                    jnp.array(w.pyr["sigma2"], jnp.float32),
+                    jnp.array(w.pyr["sigma2_inv"], jnp.float32),
+                    jnp.array(w.pyr["scale_factors"], jnp.float32),
+                    dv.kf_q, dv.kf_t,
+                    dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+                    dv.kf_feat_octave, dv.kf_feat_angle, dv.kf_feat_depth,
+                    dv.kf_comp_cand,
+                    self.assoc.gmap.means, self.assoc.gmap.normal,
+                    self.assoc.gmap.is_degenerated,
+                    m_tri=cfg.caps.tri_match_budget,
+                    tri_lambda2=cfg.loc.tri_lambda2,
+                    tri_opt_iters=cfg.loc.tri_opt_iters,
+                    tri_check_str_chi2=cfg.loc.tri_check_str_chi2,
+                    tri_str_thresh=cfg.loc.tri_str_thresh,
+                    ratio_factor=ratio_factor,
+                )
+            )
+        if n_m > cfg.caps.tri_match_budget:
+            # no silent truncation: the budget dropped candidate matches
+            print(
+                f"[tri] match budget bound at kf{kf1}: {n_m} matches > "
+                f"budget {cfg.caps.tri_match_budget}",
+                flush=True,
+            )
+        wi = np.where(win)[0]
+        if len(wi) == 0:
+            return 0
+        kf2_of = np.array(kf2s)[pair_t[wi]]
+        pids = np.array(
+            [
+                w.alloc_point(
+                    pts[j], ref_kf=kf1, created_kf_idx=w.kf_frame_idx[kf1]
+                )
+                for j in wi
+            ],
+            np.int64,
+        )
+        mono = from_mono[wi]
+        hs = hstr[wi]
+        w.pt_type[pids] = np.where(
+            mono,
+            np.where(hs, ms.PT_FROM_TRI_MONO_GMM, ms.PT_FROM_TRI_MONO),
+            np.where(hs, ms.PT_FROM_TRI_STEREO_GMM, ms.PT_FROM_TRI_STEREO),
+        ).astype(w.pt_type.dtype)
+        w.pt_assoc_comp[pids[hs]] = str_comp[wi][hs]
+        w.add_observations_batch(pids, kf1, idx1[wi])
+        for k2 in np.unique(kf2_of):
+            g = kf2_of == k2
+            w.add_observations_batch(pids[g], int(k2), idx2[wi][g])
+        w.compute_distinctive_descriptor_batch(pids)
+        w.update_normal_and_depth_batch(pids)
+        self.candidate_points.extend(pids.tolist())
+        return len(pids)
 
     def _triangulate_matches(
         self, kf1, kf2_of, idx1, idx2, ratio_factor, pair_order=None
@@ -521,13 +611,15 @@ class Localization:
         w.pt_fuse_tgt_kf[fc] = stamp
 
         if self.dev_world is not None:
-            # device path: the forward jobs share ONE query set (the
-            # current KF's landmarks) projected per target ON DEVICE from
-            # the mirror; the reverse direction is a second dispatch so
-            # its query bucket doesn't inflate the forward tier.
-            self._fuse_device([int(k) for k in tgt], curr_pts)
+            # device path: forward jobs (current KF's landmarks against
+            # each target) AND the reverse job (2nd-ring landmarks
+            # against the current KF) in ONE dispatch — per-job query
+            # rows, oversized sets chunked to the row bucket
+            # (fuse_project_match_gather r5).
+            jobs = [(int(k), curr_pts) for k in tgt]
             if len(fc):
-                self._fuse_device([kf], fc)
+                jobs.append((kf, fc))
+            self._fuse_device_jobs(jobs)
         else:
             # ONE vmapped fuse-match dispatch for all (target, query) jobs
             jobs = [(int(k), curr_pts) for k in tgt]
@@ -678,42 +770,50 @@ class Localization:
         return self._fuse_jobs([(kf, pids)])
 
     def _fuse_device(self, kfs, pids: np.ndarray, th: float = 3.0) -> int:
-        """fuseObservations against many targets with the world resident
-        on device: projection/gating/matching gather from the mirror; the
-        host uploads only the query ids, target ids and the per-target
-        already-observed mask. Surgery semantics identical to _fuse_jobs."""
+        """fuseObservations against many targets sharing one query set
+        (kept for tests/callers; delegates to the jobs form)."""
+        return self._fuse_device_jobs([(int(k), pids) for k in kfs], th=th)
+
+    def _fuse_device_jobs(self, jobs, th: float = 3.0) -> int:
+        """fuseObservations over many (target KF, query set) jobs in ONE
+        dispatch with the world resident on device: projection/gating/
+        matching gather from the mirror; the host uploads only the query
+        ids, target ids and the per-row already-observed mask. Oversized
+        query sets are chunked into extra rows of the same bucket (one
+        program instead of per-direction dispatches). Surgery semantics
+        identical to _fuse_jobs."""
         w = self.world
         from .association import bucket_size
 
-        pids = np.asarray(pids, np.int64)
-        pids = pids[w.pt_valid[pids]]
-        if len(pids) == 0 or not kfs:
+        CHUNK = 2048
+        rows = []  # (kf, pids_chunk)
+        for k, pids in jobs:
+            pids = np.asarray(pids, np.int64)
+            pids = pids[w.pt_valid[pids]]
+            for i in range(0, len(pids), CHUNK):
+                rows.append((int(k), pids[i : i + CHUNK]))
+        if not rows:
             return 0
-        if len(pids) > 8192:
-            # keep query buckets inside the prewarmed tier grid; the
-            # oversized reverse job (union of all 2nd-ring points) is the
-            # only path that exceeds it
-            return sum(
-                self._fuse_device(kfs, pids[i : i + 8192], th=th)
-                for i in range(0, len(pids), 8192)
-            )
         dv = self.dev_world
         with Timer("loc/fuse_sync"):
             dv.sync()
-        T = len(kfs)
+        T = len(rows)
         TP = 1 << max(0, (T - 1).bit_length())
-        B = bucket_size(len(pids))
+        B = bucket_size(max(len(p) for _, p in rows))
         with Timer("loc/fuse_prep"):
-            kf_arr = np.array(list(kfs) + [kfs[0]] * (TP - T), np.int32)
+            kf_arr = np.array(
+                [k for k, _ in rows] + [rows[0][0]] * (TP - T), np.int32
+            )
             job_ok = np.zeros(TP, bool)
             job_ok[:T] = True
-            pid_pad = np.zeros(B, np.int32)
-            pid_pad[: len(pids)] = pids
-            q_ok = np.zeros(B, bool)
-            q_ok[: len(pids)] = True
+            pid_pad = np.zeros((TP, B), np.int32)
+            q_ok = np.zeros((TP, B), bool)
+            for ti, (_, p) in enumerate(rows):
+                pid_pad[ti, : len(p)] = p
+                q_ok[ti, : len(p)] = True
             # (TP,B): landmark already observed by the target (host registry)
             skip = (
-                w.pt_obs_kf[pid_pad][None, :, :] == kf_arr[:, None, None]
+                w.pt_obs_kf[pid_pad] == kf_arr[:, None, None]
             ).any(-1)
 
         with Timer("loc/fuse_dispatch"):
@@ -737,6 +837,7 @@ class Localization:
         num_fused = 0
         for ti in range(T):
             k = int(kf_arr[ti])
+            pids = rows[ti][1]
             m = match[ti][: len(pids)]
             js = np.where(m >= 0)[0]
             if len(js) == 0:

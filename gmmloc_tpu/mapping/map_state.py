@@ -223,6 +223,7 @@ class MapState:
         self.pt_obs_feat[p, s] = feat
         self.pt_n_obs[p] += 2 if self.kf_feat_ur[kf, feat] >= 0 else 1
         self.kf_obs_point[kf, feat] = p
+        self.dirty_pt.add(p)  # mirror holds the obs tables (BA assembly)
 
     def remove_observation(self, p: int, kf: int) -> bool:
         """Returns True if the point became bad (weighted obs <= 2,
@@ -235,6 +236,7 @@ class MapState:
         self.pt_n_obs[p] -= 2 if self.kf_feat_ur[kf, feat] >= 0 else 1
         self.pt_obs_kf[p, s] = -1
         self.pt_obs_feat[p, s] = -1
+        self.dirty_pt.add(p)
         if self.kf_obs_point[kf, feat] == p:
             self.kf_obs_point[kf, feat] = -1
         if self.pt_ref_kf[p] == kf:
@@ -268,6 +270,7 @@ class MapState:
         self.pt_obs_feat[pids, s] = feats
         self.pt_n_obs[pids] += np.where(self.kf_feat_ur[kf, feats] >= 0, 2, 1)
         self.kf_obs_point[kf, feats] = pids
+        self.dirty_pt.update(pids.tolist())
 
     def point_observations(self, p: int):
         m = self.pt_obs_kf[p] >= 0
@@ -299,6 +302,7 @@ class MapState:
         self.pt_obs_feat[src] = -1
         self.pt_valid[src] = False
         self.pt_replaced_by[src] = tgt
+        self.dirty_pt.add(tgt)  # tgt may inherit observations below
         for kf, ft in zip(kfs, feats):
             if (self.pt_obs_kf[tgt] == kf).any():
                 if self.kf_obs_point[kf, ft] == src:

@@ -189,7 +189,10 @@ class GMMLocSystem:
         p = frame.mappoint[idx]
         ok = self.world.pt_valid[p]
         self.world.kf_obs_point[kf, idx[ok]] = p[ok]
-        self.assoc.associate_keyframe(self.world, kf)
+        if self.cfg.loc.fused_kf_assoc:
+            self.assoc.associate_and_check_keyframe(self.world, kf)
+        else:
+            self.assoc.associate_keyframe(self.world, kf)
         self.assoc.create_map_points_from_stereo(
             self.world, frame, kf, check_depth=not is_first
         )
