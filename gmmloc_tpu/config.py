@@ -161,6 +161,13 @@ class LocConfig:
     # boundaries (~195 ms/KF of RTT, r4 profile loc/triangulate).
     # Requires use_device_world.
     fused_tri: bool = True
+    # Assemble the local-BA problem ON DEVICE from the DeviceWorld
+    # mirror's observation tables, fused with the solve into one program
+    # (mapping/ba_assemble.py): the host uploads only slot lists instead
+    # of 17 (P,MO)-shaped arrays per solve (~1 MB + 17 transfer fixed
+    # costs; loc/ba 139 ms/KF in the r4 profile). Requires
+    # use_device_world.
+    ba_device_assembly: bool = True
 
 
 @dataclass(frozen=True)

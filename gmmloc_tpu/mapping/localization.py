@@ -953,6 +953,12 @@ class Localization:
         fixed = fixed[:F_CAP]
         fixed_set = set(fixed)
 
+        if cfg.loc.ba_device_assembly and self.dev_world is not None:
+            return self._joint_opt_device(
+                local, fixed, pts, has_prior, first_kf, L, F_CAP, P,
+                (dropped_local, dropped_pts, dropped_fixed), kf0,
+            )
+
         cam_q = np.tile(np.array([1.0, 0, 0, 0]), (C, 1))
         cam_t = np.zeros((C, 3))
         cam_valid = np.zeros(C, bool)
@@ -1107,7 +1113,101 @@ class Localization:
              res.n_iters)
         )
         self.last_ba_iters = int(n_iters)
+        self._ba_writeback(
+            local, pts_np, n_act, new_q, new_t, new_pts, drop_all,
+            bad_all, obs_kfid,
+        )
 
+    def _joint_opt_device(
+        self, local, fixed, pts, has_prior, first_kf, L, F_CAP, P,
+        dropped, kf0,
+    ) -> None:
+        """Device-assembled local BA: the window's observation tables,
+        camera blocks and structure factors are gathered from the
+        DeviceWorld mirror inside ONE program that also runs the solve
+        (mapping/ba_assemble.py); the host uploads only slot lists
+        (~20 KB instead of 17 (P,MO)-shaped arrays)."""
+        w = self.world
+        cfg = self.cfg
+        from . import ba_assemble
+
+        dv = self.dev_world
+        with Timer("loc/ba_sync"):
+            dv.sync()
+        n_act = len(pts)
+        pts_np = np.array(pts, np.int64)
+        local_arr = np.full(L, -1, np.int32)
+        local_arr[: len(local)] = local
+        fixed_arr = np.full(F_CAP, -1, np.int32)
+        fixed_arr[: len(fixed)] = fixed
+        pts_ids = np.full(P, -1, np.int32)
+        pts_ids[:n_act] = pts
+        slot_lut = np.full(w.MK, -1, np.int32)
+        for i, k in enumerate(local):
+            slot_lut[k] = i
+        for i, k in enumerate(fixed):
+            slot_lut[k] = L + i
+
+        sig_rot = np.deg2rad(cfg.loc.prior_sigma_rot_deg)
+        res, obs_kfid_d, n_obs_pt_d = ba_assemble.assemble_and_solve(
+            self.cam,
+            jnp.array(local_arr), jnp.array(fixed_arr), jnp.array(pts_ids),
+            jnp.array(slot_lut),
+            jnp.array(bool(has_prior)),
+            jnp.int32(max(first_kf, 0)),
+            dv.kf_q, dv.kf_t,
+            dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_octave,
+            dv.pt_pos, dv.pt_obs_kf, dv.pt_obs_feat, dv.pt_acomp,
+            self.assoc.gmap.means, self.assoc.gmap.normal,
+            self.assoc.gmap.sqrt_info, self.assoc.gmap.is_degenerated,
+            jnp.array(w.pyr["sigma2_inv"], jnp.float32),
+            n_free=L, n_cams=L + F_CAP, n_pts=P,
+            mo=cfg.caps.ba_obs_per_point,
+            ba_lambda2=cfg.loc.ba_lambda2,
+            tri_str_thresh=cfg.loc.tri_str_thresh,
+            prior_rot_info=1.0 / sig_rot**2,
+            prior_trans_info=1.0 / cfg.loc.prior_sigma_trans**2,
+            iters1=cfg.loc.ba_iters_stage1,
+            iters2=cfg.loc.ba_iters_stage2,
+            iters3=cfg.loc.ba_iters_stage3,
+            term_gain=cfg.loc.ba_term_gain,
+            schur_impl=cfg.loc.ba_schur_impl,
+            linear_solver=cfg.loc.ba_linear_solver,
+            cg_iters=cfg.loc.ba_cg_iters,
+        )
+        (new_q, new_t, new_pts, drop_all, bad_all, n_iters, obs_kfid,
+         n_obs_pt) = fetch(
+            (res.cam_q, res.cam_t, res.pts, res.str_drop, res.obs_bad,
+             res.n_iters, obs_kfid_d, n_obs_pt_d)
+        )
+        self.last_ba_iters = int(n_iters)
+        no = n_obs_pt[:n_act]
+        self.ba_stats.append({
+            "L": L, "P": P, "MO": cfg.caps.ba_obs_per_point,
+            "n_local": len(local), "n_fixed": len(fixed), "n_pts": n_act,
+            "obs_mean": float(no.mean()) if n_act else 0.0,
+            "obs_p95": float(np.percentile(no, 95)) if n_act else 0.0,
+            "obs_max_hit": int((no >= cfg.caps.ba_obs_per_point).sum()),
+            "n_obs": int(no.sum()),
+            "dropped_local": dropped[0], "dropped_pts": dropped[1],
+            "dropped_fixed": dropped[2],
+        })
+        if any(dropped):
+            print(
+                f"[ba] cap bound at kf{kf0}: dropped "
+                f"local={dropped[0]} pts={dropped[1]} fixed={dropped[2]}",
+                flush=True,
+            )
+        self._ba_writeback(
+            local, pts_np, n_act, new_q, new_t, new_pts, drop_all,
+            bad_all, obs_kfid,
+        )
+
+    def _ba_writeback(
+        self, local, pts_np, n_act, new_q, new_t, new_pts, drop_all,
+        bad_all, obs_kfid,
+    ) -> None:
+        w = self.world
         # write back poses/points, rejecting implausible jumps: a local-BA
         # step that moves a keyframe by decimetres is divergence (gauge
         # slide / edge-deactivation runaway), not refinement — keep the

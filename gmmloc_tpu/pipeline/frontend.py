@@ -123,11 +123,12 @@ class ImageFrontend:
             left = equalize_hist(left)
             right = equalize_hist(right)
 
-        # ONE pyramid per image shared by detection AND stereo refinement
+        # ONE pyramid per image shared by detection AND stereo refinement;
+        # both images' detections run as ONE FAST+NMS dispatch + ONE
+        # orientation/descriptor gather pass (detect_pair_from_levels)
         pyr_l = pyramid.build_pyramid(left, self.detector.shapes)
         pyr_r = pyramid.build_pyramid(right, self.detector.shapes)
-        det_l = self.detector.detect_from_levels(pyr_l)
-        det_r = self.detector.detect_from_levels(pyr_r)
+        det_l, det_r = self.detector.detect_pair_from_levels(pyr_l, pyr_r)
 
         best, _ = stereo.match_stereo(
             det_l.uv, det_l.octave, det_l.desc, det_l.valid,

@@ -170,56 +170,150 @@ def prewarm_point_solvers(
     return n
 
 
+def _dummy_gmap(cfg: SystemConfig):
+    """Zero-filled GMMMap with the configured pad size (shape/dtype-only
+    jit cache keys; values irrelevant)."""
+    import jax.numpy as jnp
+
+    from ..gmm.mixture import GMMMap
+
+    K = cfg.caps.gmm_components_pad
+    NB = cfg.gmm.neighbor_cap
+    eye = jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1))
+    return GMMMap(
+        means=jnp.zeros((K, 3), jnp.float32), covs=eye, cov_inv=eye,
+        det=jnp.ones(K, jnp.float32),
+        scale=jnp.ones((K, 3), jnp.float32), axis=eye,
+        normal=jnp.tile(jnp.array([0.0, 0, 1], jnp.float32), (K, 1)),
+        sqrt_info=eye,
+        is_degenerated=jnp.zeros(K, bool), is_salient=jnp.zeros(K, bool),
+        valid=jnp.zeros(K, bool),
+        neighbors=jnp.full((K, NB), -1, jnp.int32),
+    )
+
+
 def prewarm_device_world(
     cfg: SystemConfig, cam: cam_mod.CameraParams,
-    fwd_tiers=(1, 2, 4, 8, 16, 32, 64), fwd_buckets=(256, 512, 1024, 2048),
-    rev_buckets=(4096, 8192), log=None,
+    fwd_tiers=(1, 2, 4, 8, 16, 32), fwd_buckets=(256, 512, 1024, 2048),
+    log=None,
 ) -> int:
-    """Compile the device-world gather kernels (fusion forward tiers,
-    the big single-target reverse buckets, the T=10 triangulation
-    search) against a zero-filled mirror."""
+    """Compile the device-world gather kernels (merged fusion tier grid,
+    the fused triangulation program, the fused KF-association program,
+    the assemble+solve BA tiers) against a zero-filled mirror."""
     import jax.numpy as jnp
 
     from ..features import matching
+    from ..mapping import ba_assemble
+    from ..mapping.association import associate_and_check_kernel
     from ..mapping.device_world import DeviceWorld
     from ..mapping.map_state import MapState
+    from ..mapping.tri_kernel import triangulate_kernel
     from ..utils.fetch import fetch
 
-    dv = DeviceWorld(MapState(cfg))
+    world = MapState(cfg)
+    dv = DeviceWorld(world)
     dv.sync()
     dv.prewarm_scatters(pt_buckets=(256, 512, 1024, 2048, 4096, 8192))
     s2i = jnp.ones(cfg.frame.num_levels, jnp.float32)
     sf = jnp.ones(cfg.frame.num_levels, jnp.float32)
     n = 0
-    combos = [(tp, b) for tp in fwd_tiers for b in fwd_buckets]
-    combos += [(1, b) for b in rev_buckets]
-    for TP, B in combos:
-        m = matching.fuse_project_match_gather(
-            cam,
-            jnp.zeros(TP, jnp.int32), jnp.zeros(TP, bool),
-            jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
-            jnp.zeros((TP, B), bool),
+    for TP in fwd_tiers:
+        for B in fwd_buckets:
+            m = matching.fuse_project_match_gather(
+                cam,
+                jnp.zeros(TP, jnp.int32), jnp.zeros(TP, bool),
+                jnp.zeros((TP, B), jnp.int32), jnp.zeros((TP, B), bool),
+                jnp.zeros((TP, B), bool),
+                dv.kf_q, dv.kf_t,
+                dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+                dv.kf_feat_octave, dv.kf_feat_valid,
+                dv.pt_pos, dv.pt_normal, dv.pt_min_dist, dv.pt_max_dist,
+                dv.pt_desc, dv.pt_valid,
+                s2i, sf, jnp.float32(0.18),
+            )
+            fetch((m,))
+            n += 1
+    F = cfg.frame.feat_cap
+    T = 10  # create_map_points' fixed neighbor tier
+    gmap = _dummy_gmap(cfg)
+    lc = cfg.loc
+    if lc.fused_tri:
+        r = triangulate_kernel(
+            cam, jnp.int32(0), jnp.zeros(T, jnp.int32), jnp.zeros(T, bool),
+            jnp.zeros(F, bool), jnp.zeros((T, F), bool),
+            jnp.zeros((T, 3, 3), jnp.float32), jnp.zeros((T, 2), jnp.float32),
+            s2i, s2i, sf,
             dv.kf_q, dv.kf_t,
             dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
-            dv.kf_feat_octave, dv.kf_feat_valid,
-            dv.pt_pos, dv.pt_normal, dv.pt_min_dist, dv.pt_max_dist,
-            dv.pt_desc, dv.pt_valid,
-            s2i, sf, jnp.float32(0.18),
+            dv.kf_feat_octave, dv.kf_feat_angle, dv.kf_feat_depth,
+            dv.kf_comp_cand,
+            gmap.means, gmap.normal, gmap.is_degenerated,
+            m_tri=cfg.caps.tri_match_budget,
+            tri_lambda2=lc.tri_lambda2,
+            tri_opt_iters=lc.tri_opt_iters,
+            tri_check_str_chi2=lc.tri_check_str_chi2,
+            tri_str_thresh=lc.tri_str_thresh,
+            ratio_factor=1.5 * cfg.frame.scale_factor,
+        )
+        fetch((r[0],))
+        n += 1
+    else:
+        m = matching.search_for_triangulation_gather(
+            jnp.int32(0), jnp.zeros(T, jnp.int32),
+            jnp.zeros(F, bool), jnp.zeros((T, F), bool),
+            jnp.zeros((T, 3, 3), jnp.float32), jnp.zeros((T, 2), jnp.float32),
+            s2i,
+            dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
+            dv.kf_feat_octave, dv.kf_feat_angle,
         )
         fetch((m,))
         n += 1
-    F = cfg.frame.feat_cap
-    T = 10  # create_map_points' fixed neighbor tier
-    m = matching.search_for_triangulation_gather(
-        jnp.int32(0), jnp.zeros(T, jnp.int32),
-        jnp.zeros(F, bool), jnp.zeros((T, F), bool),
-        jnp.zeros((T, 3, 3), jnp.float32), jnp.zeros((T, 2), jnp.float32),
-        jnp.ones(cfg.frame.num_levels, jnp.float32),
-        dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_desc,
-        dv.kf_feat_octave, dv.kf_feat_angle,
-    )
-    fetch((m,))
-    n += 1
+    if lc.fused_kf_assoc:
+        g = cfg.gmm
+        r = associate_and_check_kernel(
+            gmap, cam,
+            jnp.array([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.zeros((F, 2), jnp.float32), jnp.full(F, -1.0, jnp.float32),
+            jnp.zeros(F, jnp.int32), jnp.zeros(F, bool),
+            jnp.full(F, -1.0, jnp.float32), s2i,
+            knn=g.assoc_knn, mdist2_thresh=g.assoc_mdist2_thresh,
+            view_cos_deg=g.view_cos_deg,
+            cov2d_scale_thresh=g.cov2d_scale_thresh,
+            occlusion_bh_thresh=g.occlusion_bh_thresh,
+            tri_lambda2=lc.tri_lambda2, chi2_stereo=lc.chi2_stereo,
+            str_chi2_thresh=lc.tri_str_thresh * lc.tri_lambda2,
+            chi2_assoc_3d=lc.chi2_assoc_3d, iters=lc.point_opt_iters,
+            tri_check_str_chi2=lc.tri_check_str_chi2,
+        )
+        fetch((r[1],))
+        n += 1
+    if lc.ba_device_assembly:
+        sig_rot = np.deg2rad(lc.prior_sigma_rot_deg)
+        for (L, F_CAP, P) in ba_tiers(cfg):
+            res, okfid, nobs = ba_assemble.assemble_and_solve(
+                cam,
+                jnp.full(L, -1, jnp.int32), jnp.full(F_CAP, -1, jnp.int32),
+                jnp.full(P, -1, jnp.int32),
+                jnp.full(world.MK, -1, jnp.int32),
+                jnp.array(False), jnp.int32(0),
+                dv.kf_q, dv.kf_t,
+                dv.kf_feat_uv, dv.kf_feat_ur, dv.kf_feat_octave,
+                dv.pt_pos, dv.pt_obs_kf, dv.pt_obs_feat, dv.pt_acomp,
+                gmap.means, gmap.normal, gmap.sqrt_info,
+                gmap.is_degenerated, s2i,
+                n_free=L, n_cams=L + F_CAP, n_pts=P,
+                mo=cfg.caps.ba_obs_per_point,
+                ba_lambda2=lc.ba_lambda2,
+                tri_str_thresh=lc.tri_str_thresh,
+                prior_rot_info=1.0 / sig_rot**2,
+                prior_trans_info=1.0 / lc.prior_sigma_trans**2,
+                iters1=lc.ba_iters_stage1, iters2=lc.ba_iters_stage2,
+                iters3=lc.ba_iters_stage3, term_gain=lc.ba_term_gain,
+                schur_impl=lc.ba_schur_impl,
+                linear_solver=lc.ba_linear_solver, cg_iters=lc.ba_cg_iters,
+            )
+            fetch((res.n_iters,))
+            n += 1
     if log:
         log(f"prewarm device-world kernels: {n} programs")
     return n
@@ -281,7 +375,11 @@ def prewarm_chained(cfg: SystemConfig, cam: cam_mod.CameraParams,
 
 def prewarm(cfg: SystemConfig, cam: cam_mod.CameraParams, log=None) -> int:
     """Warm the tier grid a long run can hit after its opening frames."""
-    n = prewarm_ba(cfg, cam, log=log)
+    n = 0
+    if not (cfg.loc.use_device_world and cfg.loc.ba_device_assembly):
+        # solve-only tiers; with device assembly the fused
+        # assemble+solve programs (prewarm_device_world) subsume them
+        n += prewarm_ba(cfg, cam, log=log)
     if cfg.loc.use_device_world:
         n += prewarm_device_world(cfg, cam, log=log)
     else:
