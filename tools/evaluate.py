@@ -57,7 +57,8 @@ def _sequence_vocab(seq, fe):
 
 
 def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
-             out_path=None, vocabulary=None, pace_hz: float = 0.0):
+             out_path=None, vocabulary=None, pace_hz: float = 0.0,
+             viewer=None):
     gt_path = f"{synthetic.GT_DIR}/{seq}.txt"
     fe, ts, q_wc, t_wc = synthetic.make_sequence(
         cfg, gt_path=gt_path,
@@ -109,6 +110,10 @@ def run_once(cfg, seq: str, run_idx: int, n_frames: int, start: int, gmap,
             break
         done += 1
         tracked += int(st.res) if st is not None else 0
+        if viewer is not None:
+            # live run view (visualizer.cpp:150-221 parity): throttled
+            # re-export of the interactive HTML from the running system
+            viewer.maybe_update(sys_.world)
         if done % 200 == 0:  # heartbeat for the sweep stall watchdog
             print(f"  [{seq} r{run_idx}] {done}/{N} frames "
                   f"({done/(time.time()-t0):.1f} fps)", flush=True)
@@ -205,6 +210,12 @@ def main():
                          "bf16 on the MXU")
     ap.add_argument("--timing", action="store_true",
                     help="print the named-scope timing table per run")
+    ap.add_argument("--viewer", default=None,
+                    help="live run view: path of an HTML file re-exported "
+                         "every --viewer-interval seconds from the running "
+                         "system (open in a browser; auto-refreshes). "
+                         "Pause/step/stop via SIGUSR1/SIGUSR2/SIGTERM.")
+    ap.add_argument("--viewer-interval", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sitecustomize pre-empts "
                          "JAX_PLATFORMS env vars)")
@@ -267,12 +278,22 @@ def main():
                 neighbor_cap=cfg.gmm.neighbor_cap,
             )
         runs = []
+        viewer = None
+        if args.viewer:
+            from gmmloc_tpu.pipeline.live_viewer import LiveViewer
+            from gmmloc_tpu.utils import proto as proto_mod
+
+            means, covs, _, _ = proto_mod.load_gmm_file(gmm_path)
+            viewer = LiveViewer(
+                args.viewer, interval=args.viewer_interval,
+                gmm={"means": means, "covs": covs},
+            )
         for r in range(args.runs):
             out_path = os.path.join(args.out, f"{seq}{r}.txt")
             m = run_once(cfg, seq, r, args.frames, args.start,
                          gmaps[gmm_path], out_path,
                          vocabulary="train" if args.reloc else None,
-                         pace_hz=args.pace)
+                         pace_hz=args.pace, viewer=viewer)
             runs.append(m)
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm mean={m['mean']*100:.2f}cm "
