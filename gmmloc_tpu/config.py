@@ -52,6 +52,10 @@ class FrameConfig:
     grid_rows: int = 48
     # Feature capacity (static shape): num_features padded up.
     feat_cap: int = 1280
+    # keypoint spatial distribution: "quota" (per-cell winners, default)
+    # or "octree" (coarse-to-fine multi-scale cell emulation of
+    # DistributeOctTree, orb_extractor.cpp:529-737 — A/B option)
+    detect_distribution: str = "quota"
 
     def scale_factors(self) -> np.ndarray:
         return self.scale_factor ** np.arange(self.num_levels, dtype=np.float64)

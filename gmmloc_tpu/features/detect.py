@@ -43,7 +43,7 @@ class ORBDetector:
 
     def __init__(self, height: int, width: int, num_features: int = 1200,
                  num_levels: int = 8, scale: float = 1.2, cell: int = 24,
-                 use_pallas_fast: bool = True):
+                 use_pallas_fast: bool = True, distribution: str = "quota"):
         self.shapes = tuple(pyramid.level_shapes(height, width, num_levels, scale))
         self.quotas = level_quotas(num_features, num_levels, scale)
         self.num_levels = num_levels
@@ -55,6 +55,11 @@ class ORBDetector:
         # multi-level jit without wedging the executor. Falls back to XLA
         # on CPU automatically.
         self.use_pallas_fast = use_pallas_fast
+        # keypoint spatial distribution: "quota" = per-cell winners +
+        # top-quota (default); "octree" = coarse-to-fine multi-scale cell
+        # emulation of DistributeOctTree (fast.select_keypoints_octree,
+        # A/B for the reference's quadtree — orb_extractor.cpp:529-737)
+        self.distribution = distribution
         self._detect = jax.jit(self._detect_impl)
 
     def _detect_impl(self, img):
@@ -114,9 +119,14 @@ class ORBDetector:
             sl = jax.lax.slice(
                 score_atlas, (y0, 0), (y0 + heights[l], widths[l])
             )
-            uv, resp, valid = fast.select_keypoints(
-                sl, cell=self.cell, quota=self.quotas[l], edge=16
-            )
+            if self.distribution == "octree":
+                uv, resp, valid = fast.select_keypoints_octree(
+                    sl, quota=self.quotas[l], edge=16
+                )
+            else:
+                uv, resp, valid = fast.select_keypoints(
+                    sl, cell=self.cell, quota=self.quotas[l], edge=16
+                )
             uvs_lvl.append(uv)
             octs.append(jnp.full(uv.shape[0], l, jnp.int32))
             resps.append(resp)

@@ -92,6 +92,74 @@ def nms3x3(score):
     return jnp.where(score >= neigh.max(axis=0) + 1e-6, score, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("cells", "quota", "edge"))
+def select_keypoints_octree(
+    score, cells=(96, 48, 24), quota: int = 256, edge: int = 16
+):
+    """Coarse-to-fine multi-scale cell selection — a static-shape
+    emulation of DistributeOctTree (ref: orb_extractor.cpp:529-737).
+
+    The reference's quadtree splits dense regions deeper and keeps the
+    best keypoint per leaf, which guarantees every COARSE region
+    contributes at least one keypoint before any dense region receives
+    its second. Emulated here: per-cell winners at a pyramid of cell
+    sizes; a winner's priority is (coarsest scale at which it wins,
+    response). The top-quota cut then fills coarse winners first —
+    the same spatial-spread-first guarantee with static shapes.
+    Duplicate pixels (winning several scales) keep their coarsest rank.
+    """
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= edge) & (ys < h - edge) & (xs >= edge) & (xs < w - edge)
+    s = jnp.where(ok, score, 0.0)
+
+    n_scales = len(cells)
+    cand_xy, cand_val, cand_rank = [], [], []
+    for rank, cell in enumerate(cells):
+        hc = -(-h // cell)
+        wc = -(-w // cell)
+        sp = jnp.pad(s, ((0, hc * cell - h), (0, wc * cell - w)))
+        cgrid = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3)
+        cgrid = cgrid.reshape(hc * wc, cell * cell)
+        win_val = cgrid.max(axis=1)
+        win_arg = cgrid.argmax(axis=1)
+        cy = win_arg // cell + (jnp.arange(hc * wc) // wc) * cell
+        cx = win_arg % cell + (jnp.arange(hc * wc) % wc) * cell
+        cand_xy.append(jnp.stack([cx, cy], -1))
+        cand_val.append(win_val)
+        cand_rank.append(jnp.full(hc * wc, rank, jnp.int32))
+    xy = jnp.concatenate(cand_xy)
+    val = jnp.concatenate(cand_val)
+    rank = jnp.concatenate(cand_rank)
+
+    # dedupe: a pixel winning at several scales keeps its coarsest entry
+    # (first occurrence in rank order == concatenation order)
+    key = xy[:, 1] * w + xy[:, 0]
+    order = jnp.arange(key.shape[0])
+    first = jnp.full((h * w,), key.shape[0], jnp.int32).at[key].min(
+        jnp.where(val > 0, order, key.shape[0])
+    )
+    is_first = (first[key] == order) & (val > 0)
+
+    # priority: scale rank dominates (coarse first), then the 20->7
+    # threshold fallback, then the response
+    RANKW = 1e8
+    prio = (n_scales - 1 - rank).astype(jnp.float32) * RANKW
+    prio = prio + jnp.where(val >= FAST_TH_HIGH, 1e6, 0.0) + val
+    prio = jnp.where(is_first, prio, -1.0)
+    k = min(quota, prio.shape[0])
+    top_p, top_i = jax.lax.top_k(prio, k)
+    uv = xy[top_i].astype(jnp.float32)
+    resp = val[top_i]
+    valid = top_p > 0.0
+    if k < quota:
+        uv = jnp.pad(uv, ((0, quota - k), (0, 0)))
+        resp = jnp.pad(resp, (0, quota - k))
+        valid = jnp.pad(valid, (0, quota - k))
+    return uv, resp, valid
+
+
 @functools.partial(jax.jit, static_argnames=("cell", "quota", "edge"))
 def select_keypoints(score, cell: int = 32, quota: int = 256, edge: int = 16):
     """Per-cell winners + top-quota selection.

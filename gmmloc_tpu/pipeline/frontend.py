@@ -63,6 +63,7 @@ class ImageFrontend:
             num_features=cfg.frame.num_features,
             num_levels=cfg.frame.num_levels,
             scale=cfg.frame.scale_factor,
+            distribution=cfg.frame.detect_distribution,
         )
         self.scale_factors = cfg.frame.scale_factors().astype(np.float32)
         self.baseline = cam.bf / cam.fx

@@ -100,6 +100,10 @@ class GMMLocSystem:
         self.track_failed = False   # fatal: no recovery path available
         self.lost = False           # recoverable: awaiting relocalization
         self.n_lost = 0             # lifetime count of lost frames
+        # frame indices where relocalization re-anchored the run (for
+        # split-at-recovery trajectory scoring — the divergence window
+        # before a rescue should not pollute the post-recovery segment)
+        self.recovery_frames: list = []
         # chained-pipeline health counters (tools/step_profile.py)
         self.n_primes = 0
         self.n_rewinds = 0
@@ -258,6 +262,7 @@ class GMMLocSystem:
         """Relocalize + reset the motion model / tracker state."""
         if not self.relocalizer.relocalize(frame):
             return False
+        self.recovery_frames.append(int(frame.idx))
         self.tracker.last_frame = frame
         self.tracker.ref_keyframe = frame.ref_kf
         self.tracker.temp_points.clear()

@@ -161,3 +161,32 @@ def test_detector_pallas_flag_matches_default(rng):
                      use_pallas_fast=True)(img)
     np.testing.assert_array_equal(np.asarray(d0.uv), np.asarray(d1.uv))
     np.testing.assert_array_equal(np.asarray(d0.desc), np.asarray(d1.desc))
+
+
+def test_octree_selection_covers_coarse_cells(rng):
+    """select_keypoints_octree must give every occupied coarse (96px)
+    cell a keypoint before dense regions get seconds — the
+    DistributeOctTree spatial-spread guarantee (orb_extractor.cpp:529)."""
+    import jax.numpy as jnp
+
+    from gmmloc_tpu.features import fast
+
+    score = np.zeros((480, 752), np.float32)
+    # a dense cluster + isolated singles in far coarse cells
+    for _ in range(400):
+        y, x = rng.integers(30, 110), rng.integers(30, 110)
+        score[y, x] = rng.uniform(8, 60)
+    singles = [(250, 400), (460 - 20, 730 - 20), (100, 600), (400, 100)]
+    for (y, x) in singles:
+        score[y, x] = 9.0
+    uv, resp, valid = fast.select_keypoints_octree(
+        jnp.array(score), quota=40
+    )
+    uv = np.asarray(uv)[np.asarray(valid)]
+    # every isolated single must be selected (its coarse cell is
+    # otherwise empty), despite the dense cluster's higher responses
+    for (y, x) in singles:
+        assert ((uv[:, 0] == x) & (uv[:, 1] == y)).any(), (y, x)
+    # no duplicate pixels
+    keys = uv[:, 1] * 752 + uv[:, 0]
+    assert len(np.unique(keys)) == len(keys)

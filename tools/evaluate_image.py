@@ -38,14 +38,14 @@ from gmmloc_tpu.utils import proto
 
 
 def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None,
-             packed=True, reloc=False):
+             packed=True, reloc=False, n_landmarks=9000):
     gmm_path = synthetic.V2_GMM if seq.startswith("V2") else synthetic.V1_GMM
     ts, q_wc, t_wc = synthetic.load_gt_trajectory(
         f"{synthetic.GT_DIR}/{seq}.txt"
     )
     means, covs, _, _ = proto.load_gmm_file(gmm_path)
     world = synthetic.sample_world_from_gmm(
-        means, covs, n_landmarks=9000, seed=run_idx
+        means, covs, n_landmarks=n_landmarks, seed=run_idx
     )
     renderer = SpriteRenderer(world, cfg, seed=run_idx)
     frontend = ImageFrontend(cfg)
@@ -121,7 +121,38 @@ def run_once(cfg, seq, run_idx, n_frames, start, gmap, out_path=None,
         frames=done, target=N, fps=done / wall if wall > 0 else 0.0,
         kfs=sys_.world.n_keyframes(), pts=sys_.world.n_points(),
         completed=done == N, lost=sys_.n_lost,
+        recoveries=len(sys_.recovery_frames),
     )
+    # split-at-recovery scoring (VERDICT r4 #3): a BoW rescue re-anchors
+    # the run after a divergence window; each inter-recovery segment is
+    # scored with its OWN alignment so pre-loss divergence does not
+    # pollute the post-recovery accuracy claim. post_recovery_rmse pools
+    # the segments that start at a recovery.
+    if sys_.recovery_frames and len(ts_est):
+        rec_ts = [ts[start + ri] for ri in sys_.recovery_frames
+                  if start + ri < len(ts)]
+        bounds = [ts_est[0] - 1.0] + rec_ts + [ts_est[-1] + 1.0]
+        segs = []
+        for si, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            sel = (ts_est >= a) & (ts_est < b)
+            if sel.sum() < 30:
+                continue
+            sm = ate.ate_rmse(
+                ts_est[sel], t_est[sel],
+                ts[start:start + done], t_wc[start:start + done],
+            )
+            segs.append({
+                "segment": si, "n": int(sel.sum()),
+                "rmse": float(sm["rmse"]),
+                "post_recovery": si > 0,
+            })
+        post = [s for s in segs if s["post_recovery"]]
+        if post:
+            n_tot = sum(s["n"] for s in post)
+            m["post_recovery_rmse"] = float(
+                np.sqrt(sum(s["n"] * s["rmse"] ** 2 for s in post) / n_tot)
+            )
+        m["segments"] = segs
     return m
 
 
@@ -151,6 +182,11 @@ def main():
                          "0: per-stage path")
     ap.add_argument("--depth", type=int, default=None,
                     help="override tracking.pipeline_depth")
+    ap.add_argument("--distribution", default=None,
+                    help="keypoint distribution A/B: quota (default) | "
+                         "octree (DistributeOctTree emulation)")
+    ap.add_argument("--landmarks", type=int, default=9000,
+                    help="sprite-world landmark count (fidelity knob)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -169,11 +205,15 @@ def main():
         )
     if args.depth is not None:
         tk["pipeline_depth"] = args.depth
+    fr = {}
+    if args.distribution:
+        fr["detect_distribution"] = args.distribution
     cfg = cfg.replace(
         camera=dataclasses.replace(
             cfg.camera, do_rectify=False, do_equalization=False
         ),
         tracking=dataclasses.replace(cfg.tracking, **tk),
+        frame=dataclasses.replace(cfg.frame, **fr),
     )
     results = {}
     gmaps = {}
@@ -190,12 +230,18 @@ def main():
             m = run_once(cfg, seq, r, args.frames, args.start,
                          gmaps[gmm_path],
                          os.path.join(args.out, f"{seq}{r}.txt"),
-                         packed=bool(args.packed), reloc=bool(args.reloc))
+                         packed=bool(args.packed), reloc=bool(args.reloc),
+                         n_landmarks=args.landmarks)
             runs.append(m)
+            post = (
+                f" post_rec={m['post_recovery_rmse']*100:.2f}cm"
+                if "post_recovery_rmse" in m else ""
+            )
             print(
                 f"{seq} run{r}: rmse={m['rmse']*100:.2f}cm "
                 f"frames={m['frames']}/{m['target']} fps={m['fps']:.2f} "
-                f"kfs={m['kfs']}", flush=True,
+                f"kfs={m['kfs']} rec={m.get('recoveries', 0)}{post}",
+                flush=True,
             )
         results[seq] = {
             "rmse_mean": float(np.mean([m["rmse"] for m in runs])),
