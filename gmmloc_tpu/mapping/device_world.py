@@ -52,13 +52,15 @@ def _scatter_kf(uv, ur, desc, octv, ang, val, dep, cand, ids, r_uv, r_ur,
 
 
 @jax.jit
-def _scatter_pt(pos, nrm, dmin, dmax, desc, okf, oft, ids, r_pos, r_nrm,
-                r_dmin, r_dmax, r_desc, r_okf, r_oft):
+def _scatter_pt(pos, nrm, dmin, dmax, desc, okf, oft, val, comp, acomp,
+                ids, r_pos, r_nrm, r_dmin, r_dmax, r_desc, r_okf, r_oft,
+                r_val, r_comp, r_acomp):
     return (
         pos.at[ids].set(r_pos), nrm.at[ids].set(r_nrm),
         dmin.at[ids].set(r_dmin), dmax.at[ids].set(r_dmax),
         desc.at[ids].set(r_desc), okf.at[ids].set(r_okf),
-        oft.at[ids].set(r_oft),
+        oft.at[ids].set(r_oft), val.at[ids].set(r_val),
+        comp.at[ids].set(r_comp), acomp.at[ids].set(r_acomp),
     )
 
 
@@ -90,15 +92,18 @@ class DeviceWorld:
         MO = world.MO
         self.pt_obs_kf = jnp.full((MP, MO), -1, jnp.int32)
         self.pt_obs_feat = jnp.full((MP, MO), -1, jnp.int32)
+        # per-row validity / association state (scattered with the pt
+        # group: wholesale re-upload of the (MP,) arrays cost ~0.58 MB
+        # per sync through the tunnel — measured as the dominant share
+        # of the 30-60 ms sync floor, r5 profile loc/*_sync)
+        self.pt_valid = jnp.zeros(MP, bool)
+        # vetted GMM component as f32 (-1 none) — chained track step input
+        self.pt_comp = jnp.full(MP, -1.0, jnp.float32)
+        # raw GMM association (un-vetted; BA structure factors use this)
+        self.pt_acomp = jnp.full(MP, -1, jnp.int32)
         # small, re-uploaded every sync
         self.kf_q = jnp.zeros((MK, 4), jnp.float32)
         self.kf_t = jnp.zeros((MK, 3), jnp.float32)
-        self.pt_valid = jnp.zeros(MP, bool)
-        # raw GMM association (un-vetted; BA structure factors use this)
-        self.pt_acomp = jnp.full(MP, -1, jnp.int32)
-        # BA-vetted GMM component per point (-1 none) — consumed by the
-        # chained track step's on-device landmark-table construction
-        self.pt_comp = jnp.full(MP, -1.0, jnp.float32)
         self.n_syncs = 0
         self._synced_version = -1
 
@@ -132,11 +137,14 @@ class DeviceWorld:
             _scatter_pt(
                 self.pt_pos, self.pt_normal, self.pt_min_dist,
                 self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
-                self.pt_obs_feat, ids,
+                self.pt_obs_feat, self.pt_valid, self.pt_comp,
+                self.pt_acomp, ids,
                 jnp.zeros((b, 3), jnp.float32), jnp.zeros((b, 3), jnp.float32),
                 jnp.zeros(b, jnp.float32), jnp.zeros(b, jnp.float32),
                 jnp.zeros((b, 32), jnp.uint8),
                 jnp.zeros((b, mo), jnp.int32), jnp.zeros((b, mo), jnp.int32),
+                jnp.zeros(b, bool), jnp.zeros(b, jnp.float32),
+                jnp.zeros(b, jnp.int32),
             )[0].block_until_ready()
 
     def sync(self) -> None:
@@ -191,10 +199,12 @@ class DeviceWorld:
             )
             (self.pt_pos, self.pt_normal, self.pt_min_dist,
              self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
-             self.pt_obs_feat) = _scatter_pt(
+             self.pt_obs_feat, self.pt_valid, self.pt_comp,
+             self.pt_acomp) = _scatter_pt(
                 self.pt_pos, self.pt_normal, self.pt_min_dist,
                 self.pt_max_dist, self.pt_desc, self.pt_obs_kf,
-                self.pt_obs_feat,
+                self.pt_obs_feat, self.pt_valid, self.pt_comp,
+                self.pt_acomp,
                 jnp.array(ids),
                 jnp.array(w.pt_pos[ids], jnp.float32),
                 jnp.array(w.pt_normal[ids], jnp.float32),
@@ -203,17 +213,19 @@ class DeviceWorld:
                 jnp.array(w.pt_desc[ids]),
                 jnp.array(w.pt_obs_kf[ids], jnp.int32),
                 jnp.array(w.pt_obs_feat[ids], jnp.int32),
+                jnp.array(w.pt_valid[ids]),
+                jnp.array(
+                    np.where(
+                        w.pt_assoc_vetted[ids], w.pt_assoc_comp[ids], -1
+                    ).astype(np.float32)
+                ),
+                jnp.array(w.pt_assoc_comp[ids], jnp.int32),
             )
             w.dirty_pt.clear()
-            n_up += 8
+            n_up += 11
         self.kf_q = jnp.array(w.kf_q, jnp.float32)
         self.kf_t = jnp.array(w.kf_t, jnp.float32)
-        self.pt_valid = jnp.array(w.pt_valid)
-        self.pt_comp = jnp.array(
-            np.where(w.pt_assoc_vetted, w.pt_assoc_comp, -1).astype(np.float32)
-        )
-        self.pt_acomp = jnp.array(w.pt_assoc_comp, jnp.int32)
-        record_uploads(n_up + 5)
+        record_uploads(n_up + 2)
         # Materialize the scatter chains before anything dispatches on
         # them: the axon tunnel intermittently WEDGES transfers whose
         # producing dispatch consumes chained (not-yet-materialized)

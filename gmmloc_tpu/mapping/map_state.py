@@ -290,6 +290,7 @@ class MapState:
         self.pt_obs_feat[p] = -1
         self.pt_n_obs[p] = 0
         self.pt_valid[p] = False
+        self.dirty_pt.add(p)  # validity is a scattered mirror field
         self._free_pt.append(p)
 
     def replace_point(self, src: int, tgt: int) -> None:
@@ -302,6 +303,7 @@ class MapState:
         self.pt_obs_feat[src] = -1
         self.pt_valid[src] = False
         self.pt_replaced_by[src] = tgt
+        self.dirty_pt.add(src)  # validity is a scattered mirror field
         self.dirty_pt.add(tgt)  # tgt may inherit observations below
         for kf, ft in zip(kfs, feats):
             if (self.pt_obs_kf[tgt] == kf).any():
@@ -352,7 +354,14 @@ class MapState:
         oft = self.pt_obs_feat[pids]
         m = okf >= 0                                     # (n, MO)
         descs = self.kf_feat_desc[np.maximum(okf, 0), np.maximum(oft, 0)]
-        dist = _POPCNT[descs[:, :, None, :] ^ descs[:, None, :, :]].sum(-1)
+        # uint64-word popcount: 4 words/descriptor instead of a 32-byte
+        # LUT gather (this pass runs over every touched point per KF and
+        # was a measured host hotspot of the fuse/proc_kf stages)
+        d64 = np.ascontiguousarray(descs).view(np.uint64)   # (n, MO, 4)
+        dist = (
+            np.bitwise_count(d64[:, :, None, :] ^ d64[:, None, :, :])
+            .sum(-1, dtype=np.int32)
+        )
         BIG = np.int32(1 << 20)
         dist = np.where(m[:, :, None] & m[:, None, :], dist.astype(np.int32), BIG)
         cnt = m.sum(1)                                   # obs per point

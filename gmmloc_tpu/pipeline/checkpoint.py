@@ -84,4 +84,9 @@ def load_checkpoint(path: str, world: MapState) -> Tuple[int, dict]:
         meta = json.load(f)
     assert meta["version"] == FORMAT_VERSION
     world.max_kf_frame_idx = meta["max_kf_frame_idx"]
+    # the DeviceWorld mirror (if any) is entirely stale after a restore:
+    # mark every live row dirty so the next sync() re-scatters it
+    world.dirty_kf.update(np.where(world.kf_valid)[0].tolist())
+    world.dirty_pt.update(np.where(world.pt_valid)[0].tolist())
+    world.map_version += 1
     return meta["frame_cursor"], meta.get("extra", {})
