@@ -89,6 +89,7 @@ def search_by_projection(
     desc_thresh: int = TH_HIGH,
     nn_ratio: float = 1.0,
     use_rotation: bool = False,
+    dist_precomputed=None,  # (N,M) Hamming matrix (shared across retries)
 ):
     """Generic guided projection search.
 
@@ -123,7 +124,10 @@ def search_by_projection(
         & query_valid[:, None]
     )
 
-    dist = hamming_matrix(query_desc, feat_desc)
+    dist = (
+        hamming_matrix(query_desc, feat_desc)
+        if dist_precomputed is None else dist_precomputed
+    )
     dist = jnp.where(cand, dist, 1 << 20)
 
     best_dist, best_idx = jax.lax.top_k(-dist, 2)

@@ -90,6 +90,11 @@ def _track_core(
     uv_p, ur_p, _, inside = project(q0, t0, last_pts)
     q_valid = last_valid & inside
 
+    # ONE Hamming matrix shared by the narrow and widened-window retry
+    # (the masks differ, the distances don't — saves a full (F,F)
+    # XOR+popcount pass per frame)
+    dist_motion = matching.hamming_matrix(last_desc, feat_desc)
+
     def run_match(th):
         radius = th * scale_factors[last_octave]
         m, _ = matching.search_by_projection(
@@ -99,6 +104,7 @@ def _track_core(
             feat_uv, feat_ur, feat_desc, feat_octave, feat_angle,
             feat_valid, jnp.zeros(F, bool),
             desc_thresh=matching.TH_HIGH, nn_ratio=1.0, use_rotation=True,
+            dist_precomputed=dist_motion,
         )
         return m
 
