@@ -86,12 +86,22 @@ def ic_angle(img, uv):
 
 @jax.jit
 def ic_angle_atlas(atlas, uv, y_off, h_v, w_v):
-    """IC-angle for keypoints across ALL pyramid levels in one gather.
+    """IC-angle for keypoints across ALL pyramid levels.
 
     `atlas` stacks the (raw) level images vertically; per-keypoint
-    (y_off, h_v, w_v) give its level's row offset and dimensions. Clip
-    semantics identical to the per-level gather_patches (centers clamped
-    PATCH_R inside the level)."""
+    (y_off, h_v, w_v) give its level's row offset and dimensions.
+    Centers are clamped PATCH_R inside the level (same clip semantics
+    as the per-level gather_patches path).
+
+    Dense-map formulation: the per-keypoint 31x31 patch gather cost
+    ~25 ns/element on TPU (2.5M random gathers = 63 ms/pair, the
+    dominant front-end stage). The circular moments are instead
+    computed for EVERY pixel via per-row windowed sums of two x-cumsum
+    maps (window half-width UMAX[|dy|] per dy row — static slices that
+    XLA fuses into elementwise passes), then gathered at the N keypoint
+    centers (2 element gathers each). Values match the patch form up to
+    f32 summation order; selected keypoints sit >= 16 px inside their
+    level band, so no window crosses a band boundary."""
     ys = jnp.clip(
         jnp.round(uv[:, 1]).astype(jnp.int32),
         PATCH_R, h_v - PATCH_R - 1,
@@ -99,17 +109,50 @@ def ic_angle_atlas(atlas, uv, y_off, h_v, w_v):
     xs = jnp.clip(
         jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_R, w_v - PATCH_R - 1
     )
-    dy = jnp.arange(-PATCH_R, PATCH_R + 1)
-    dx = jnp.arange(-PATCH_R, PATCH_R + 1)
-    yy = ys[:, None, None] + dy[None, :, None]
-    xx = xs[:, None, None] + dx[None, None, :]
-    patches = atlas[yy, xx]
-    mask = jnp.asarray(CIRCLE)
-    wy = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[:, None]
-    wx = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=jnp.float32)[None, :]
-    m01 = jnp.sum(patches * mask * wy, axis=(1, 2))
-    m10 = jnp.sum(patches * mask * wx, axis=(1, 2))
-    return jnp.degrees(jnp.arctan2(m01, m10)) % 360.0
+    H, W = atlas.shape
+    PAD = PATCH_R + 1
+    # prefix sums along x of I and x*I, padded so every static window
+    # slice below stays in bounds (cumsum "C[x-1]" convention via a
+    # leading zero column)
+    x_coord = jnp.arange(W, dtype=jnp.float32)[None, :]
+    C = jnp.cumsum(atlas, axis=1)
+    C2 = jnp.cumsum(atlas * x_coord, axis=1)
+    zpad = ((0, 0), (PAD + 1, PAD))
+    Cp = jnp.pad(jnp.pad(C, ((0, 0), (1, 0))), zpad)     # C[x-1] lookup
+    C2p = jnp.pad(jnp.pad(C2, ((0, 0), (1, 0))), zpad)
+
+    umax = np.asarray(_UMAX)
+    m01 = jnp.zeros((H, W), jnp.float32)
+    m10 = jnp.zeros((H, W), jnp.float32)
+    base = PAD + 1
+    for dy in range(-PATCH_R, PATCH_R + 1):
+        u = int(umax[abs(dy)])
+        # row y+dy, clamped (clamped rows are only read by un-selectable
+        # border keypoints; centers are interior by construction)
+        if dy < 0:
+            Crow = jnp.pad(Cp, ((-dy, 0), (0, 0)))[: H, :]
+            C2row = jnp.pad(C2p, ((-dy, 0), (0, 0)))[: H, :]
+        elif dy > 0:
+            Crow = jnp.pad(Cp, ((0, dy), (0, 0)))[dy:, :]
+            C2row = jnp.pad(C2p, ((0, dy), (0, 0)))[dy:, :]
+        else:
+            Crow, C2row = Cp, C2p
+        # windowed sums over x' in [x-u, x+u]: C[x+u] - C[x-u-1]
+        hi = base + u
+        lo = base - u - 1
+        winC = (
+            jax.lax.slice_in_dim(Crow, hi, hi + W, axis=1)
+            - jax.lax.slice_in_dim(Crow, lo, lo + W, axis=1)
+        )
+        winC2 = (
+            jax.lax.slice_in_dim(C2row, hi, hi + W, axis=1)
+            - jax.lax.slice_in_dim(C2row, lo, lo + W, axis=1)
+        )
+        m01 = m01 + float(dy) * winC
+        m10 = m10 + (winC2 - x_coord * winC)
+    m01_k = m01[ys, xs]
+    m10_k = m10[ys, xs]
+    return jnp.degrees(jnp.arctan2(m01_k, m10_k)) % 360.0
 
 
 @jax.jit
