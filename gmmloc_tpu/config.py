@@ -172,6 +172,12 @@ class LocConfig:
     # costs; loc/ba 139 ms/KF in the r4 profile). Requires
     # use_device_world.
     ba_device_assembly: bool = True
+    # DeviceWorld.sync barrier policy: "always" blocks after every
+    # dirty-row scatter (safest against the dev tunnel's chained-
+    # transfer wedge), "kf" blocks only when keyframe rows scattered
+    # (once per KF; the 2-3 extra pt-row barriers cost ~25-50 ms/KF of
+    # round trips through the tunnel).
+    sync_barrier: str = "always"
 
 
 @dataclass(frozen=True)

@@ -211,8 +211,10 @@ class GMMAssociator:
         cfg = self.cfg
         g = cfg.gmm
         lc = cfg.loc
+        from ..utils.fetch import AsyncFetch
+
         with Timer("kf/assoc_check"):
-            cand, assoc, pt_out = fetch(
+            pend = AsyncFetch(
                 associate_and_check_kernel(
                     self.gmap,
                     self.cam,
@@ -237,11 +239,22 @@ class GMMAssociator:
                     tri_check_str_chi2=lc.tri_check_str_chi2,
                 )
             )
+        # deferred fetch: the readback overlaps the caller's host work
+        # (observation binding) until create_map_points_from_stereo or
+        # _consume_fused_check materializes it
+        self._fused_check[kf] = pend
+
+    def _consume_fused_check(self, world: ms.MapState, kf: int):
+        ent = self._fused_check.pop(kf, None)
+        if ent is None:
+            return None
+        with Timer("kf/assoc_fetch"):
+            cand, assoc, pt_out = ent.get()
         world.kf_comp_cand[kf] = cand
         # re-mark: a device-world sync may have scattered this KF's row
         # before the candidate table was filled (chained tracking path)
         world.dirty_kf.add(kf)
-        self._fused_check[kf] = (assoc, pt_out)
+        return assoc, pt_out
 
     def associate_keyframe(self, world: ms.MapState, kf: int) -> None:
         """renderView + searchCorrespondence -> kf_comp_cand
@@ -435,6 +448,9 @@ class GMMAssociator:
         association (else no point); near-depth quota 100.
         """
         cfg = self.cfg
+        # materialize the deferred fused-association readback (fills
+        # kf_comp_cand, which the candidate gating below reads)
+        staged = self._consume_fused_check(world, kf)
         th_depth = world.pyr["th_depth"]
         depth = frame.depth.copy()
         depth[~frame.valid] = -1
@@ -479,7 +495,6 @@ class GMMAssociator:
         assoc = np.full(len(kept), -1, np.int32)
         pts = pw.copy()
         ci = np.where(has_cand)[0]
-        staged = self._fused_check.pop(kf, None)
         if len(ci):
             if staged is not None:
                 # fused path: per-feature results were computed in the

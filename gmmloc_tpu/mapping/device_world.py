@@ -231,8 +231,11 @@ class DeviceWorld:
         # producing dispatch consumes chained (not-yet-materialized)
         # outputs, and even the non-wedged case showed ~400 ms enqueue
         # stalls (measured; one blocking round trip here is ~50-100 ms
-        # and removes both failure modes).
-        if did_pt:
+        # and removes both failure modes). Policy "kf" barriers only on
+        # keyframe-row scatters (once per KF) — the pt-row scatter chain
+        # alone has not reproduced the wedge; LocConfig.sync_barrier.
+        policy = getattr(self.w.cfg.loc, "sync_barrier", "always")
+        if did_pt and (policy == "always" or did_kf):
             self.pt_desc.block_until_ready()
         if did_kf:
             self.kf_feat_desc.block_until_ready()

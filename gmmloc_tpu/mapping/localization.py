@@ -44,6 +44,8 @@ class Localization:
         self.candidate_points: List[int] = []
         # per-BA-solve shape/occupancy stats (host-side, for perf tuning)
         self.ba_stats: List[dict] = []
+        # per-KF fused-triangulation match counts (budget sizing record)
+        self.tri_stats: List[int] = []
         self.curr_kf: int = -1
         self.is_idle = True
         self.abort_ba = False
@@ -307,6 +309,7 @@ class Localization:
                     ratio_factor=ratio_factor,
                 )
             )
+        self.tri_stats.append(int(n_m))
         if n_m > cfg.caps.tri_match_budget:
             # no silent truncation: the budget dropped candidate matches
             print(

@@ -74,8 +74,8 @@ def test_fused_assoc_matches_host_chain():
 
     # --- path B: fused kernel --------------------------------------------
     assoc.associate_and_check_keyframe(w, kf)
+    a_dev, p_dev = assoc._consume_fused_check(w, kf)
     cand_b = w.kf_comp_cand[kf].copy()
-    a_dev, p_dev = assoc._fused_check.pop(kf)
 
     # candidate tables are the same kernels — bit-exact
     np.testing.assert_array_equal(cand_a, cand_b)
