@@ -265,6 +265,11 @@ class TrackingConfig:
     max_jump_trans: float = 0.15     # meters/frame (V1_03 max is 0.089)
     max_jump_rot_deg: float = 8.0    # deg/frame (V1_03 max is 3.7)
     max_coast_frames: int = 2        # consecutive coasts before accepting
+    # Staged pose-solve implementation inside the fused track step:
+    # "auto" = single-dispatch Pallas kernel on TPU (solver/pallas_pose.py,
+    # the whole 4x10 schedule in one program), XLA op chain elsewhere;
+    # "xla" / "pallas" force one.
+    pose_impl: str = "auto"
     # Per-frame GMM structure anchoring in the final pose solve
     # (capability extension; see pose_solver.optimize_pose_anchored).
     use_gmm_pose_anchor: bool = True

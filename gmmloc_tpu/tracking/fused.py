@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from ..features import matching
+from ..features import pallas_kernels
 from ..geometry import camera as cam_mod
 from ..geometry import se3
-from ..solver import pose_solver
+from ..solver import pallas_pose, pose_solver
 
 
 class FusedTrackResult(NamedTuple):
@@ -72,9 +73,22 @@ def _track_core(
     anchor_lambda2: float = 400.0,
     anchor_chi2_gate: float = 2.56,
     anchor_min_edges: int = 10,
+    pose_impl: str = "auto",
 ) -> FusedTrackResult:
     F = feat_uv.shape[0]
     P = map_pts.shape[0]
+
+    # staged pose solves: single-dispatch Pallas kernel on TPU (the whole
+    # 4x10 schedule in one program — solver/pallas_pose.py), XLA chain
+    # elsewhere. "auto" resolves at trace time.
+    use_pl = pose_impl == "pallas" or (
+        pose_impl == "auto" and pallas_kernels.use_pallas() and F % 128 == 0
+    )
+    opt_pose = pallas_pose.optimize_pose if use_pl else pose_solver.optimize_pose
+    opt_pose_anchored = (
+        pallas_pose.optimize_pose_anchored if use_pl
+        else pose_solver.optimize_pose_anchored
+    )
 
     def project(q, t, pts):
         pc = se3.apply(q, t, pts)
@@ -123,7 +137,7 @@ def _track_core(
     # ---- first pose solve ---------------------------------------------
     x1 = last_pts[jnp.clip(feat_point, 0)]
     obs = jnp.concatenate([feat_uv, feat_ur[:, None]], -1)
-    res1 = pose_solver.optimize_pose(
+    res1 = opt_pose(
         cam, q0, t0, x1, obs, feat_ur >= 0, feat_sigma2_inv,
         has1 & feat_valid,
     )
@@ -208,14 +222,14 @@ def _track_core(
         a_weight = jnp.where(
             a_type == pose_solver.ANCHOR_DEG, anchor_lambda2 * zc * zc, 1.0
         ).astype(jnp.float32)
-        res2 = pose_solver.optimize_pose_anchored(
+        res2 = opt_pose_anchored(
             cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv,
             has & feat_valid,
             anc_xc, a_mean, a_norm, a_sqi, a_type, a_weight,
             jnp.float32(anchor_chi2_gate),
         )
     else:
-        res2 = pose_solver.optimize_pose(
+        res2 = opt_pose(
             cam, q1, t1, x2, obs, feat_ur >= 0, feat_sigma2_inv,
             has & feat_valid,
         )
@@ -240,7 +254,7 @@ fused_track_step = functools.partial(
     jax.jit,
     static_argnames=(
         "cam", "num_levels", "use_anchors", "anchor_lambda2",
-        "anchor_chi2_gate", "anchor_min_edges",
+        "anchor_chi2_gate", "anchor_min_edges", "pose_impl",
     ),
 )(_track_core)
 
@@ -277,6 +291,7 @@ def _desc_bits(packed_f32):
     static_argnames=(
         "cam", "num_levels", "use_anchors", "map_is_stale",
         "anchor_lambda2", "anchor_chi2_gate", "anchor_min_edges",
+        "pose_impl",
     ),
 )
 def fused_track_step_packed(
@@ -295,6 +310,7 @@ def fused_track_step_packed(
     anchor_lambda2: float = 400.0,
     anchor_chi2_gate: float = 2.56,
     anchor_min_edges: int = 10,
+    pose_impl: str = "auto",
 ):
     F = cur.shape[0]
     P = map_tab.shape[0]
@@ -373,6 +389,7 @@ def fused_track_step_packed(
         map_pts, map_desc, map_normal, map_min, map_max, map_valid,
         scale_factors, log_scale_factor, num_levels,
         motion_radius=motion_radius, local_radius=local_radius,
+        pose_impl=pose_impl,
         **anc_kw,
     )
     # ONE packed output: [q(4) t(3) n_inl n_motion n_anc | feat_point(F)
@@ -521,7 +538,7 @@ def _chain_prep(
         "cam", "num_levels", "use_anchors",
         "anchor_lambda2", "anchor_chi2_gate", "anchor_min_edges",
         "velocity_ema", "velocity_damping", "th_depth", "temp_cap",
-        "motion_radius", "local_radius",
+        "motion_radius", "local_radius", "pose_impl",
     ),
 )
 def fused_track_step_chained(
@@ -543,6 +560,7 @@ def fused_track_step_chained(
     temp_cap: int = 100,
     motion_radius: float = 7.0,
     local_radius: float = 3.0,
+    pose_impl: str = "auto",
 ):
     """Chained packed track step. Returns (out_ext, dyn, vel, pose_prev)
     where out_ext = packed result + [q_pred(4) t_pred(3)], dyn/vel feed
@@ -566,6 +584,7 @@ def fused_track_step_chained(
         anchor_lambda2=anchor_lambda2,
         anchor_chi2_gate=anchor_chi2_gate,
         anchor_min_edges=anchor_min_edges,
+        pose_impl=pose_impl,
     )
     out_ext = jnp.concatenate([out, q0, t0])
     return out_ext, dyn, vel_new, prev_out[0:7]

@@ -875,6 +875,7 @@ class Tracker:
             anchor_lambda2=float(tk.anchor_lambda2),
             anchor_chi2_gate=float(tk.anchor_chi2_gate),
             anchor_min_edges=int(tk.anchor_min_edges),
+            pose_impl=tk.pose_impl,
         )
         t_disp.stop()
         if getattr(self, "_prime_chain", False) and kf_mode:
@@ -967,6 +968,7 @@ class Tracker:
             anchor_lambda2=float(tk.anchor_lambda2),
             anchor_chi2_gate=float(tk.anchor_chi2_gate),
             anchor_min_edges=int(tk.anchor_min_edges),
+            pose_impl=tk.pose_impl,
             velocity_ema=float(tk.velocity_ema),
             velocity_damping=float(tk.velocity_damping),
             th_depth=float(self.th_depth),
