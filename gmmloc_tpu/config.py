@@ -176,7 +176,11 @@ class LocConfig:
     # dirty-row scatter (safest against the dev tunnel's chained-
     # transfer wedge), "kf" blocks only when keyframe rows scattered
     # (once per KF; the 2-3 extra pt-row barriers cost ~25-50 ms/KF of
-    # round trips through the tunnel).
+    # round trips through the tunnel). A/B measured (r5): "kf" gains
+    # 8.54 -> 9.08 offline fps, but in ONLINE mode the unbarriered
+    # pt-row scatters race the tracker's chained dispatch stream and
+    # reproduce multi-second tunnel stalls (measured max 7.8 s vs 58 ms
+    # with "always", same run otherwise) — keep "always".
     sync_barrier: str = "always"
 
 
